@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship interleaved-document extraction at
+sf0.001. ``queries``/``oracle_sql`` cover the operator inventory from
+SURVEY.md §2: extraction-chain queries (non-SQL-expressible — the
+strong gate for those is the frozen-fixture pytest suite,
+tests/test_spark_extract.py) plus DuckDB-checked relational operators.
+
+Float discipline for oracle-checked queries: money/metric sums are
+decimal-cast before aggregation (exact, order-independent) and cast to
+double at the end; similarity scores are rounded before ranking with
+id tie-breaks — so Spark and DuckDB cannot disagree on summation order
+or boundary rounding.
 """
 
 from __future__ import annotations
@@ -13,26 +19,239 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
+from ocr_spark.operators import dedup, pairing, similarity, textstats, tpch
+from ocr_spark.plans.extract import corpus_df, extract
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    n_docs = _t(spark, "/root/testdata/sf0.001", "documents").count()
+    return extract(corpus_df(spark, n_docs))
+
+
+# --- extraction family (fixture-gated; no SQL oracle) -----------------------
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = _t(spark, sf_dir, "documents").count()
+    return extract(corpus_df(spark, n_docs))
+
+
+def _q_extract_heavy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same job forced through the span-exploded skew path."""
+    n_docs = min(_t(spark, sf_dir, "documents").count(), 1000)
+    return extract(corpus_df(spark, n_docs), heavy_threshold=0)
+
+
+# --- relational family (DuckDB-checked) -------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ocr_extract_spans": _q_extract,
+    "ocr_extract_heavy_path": _q_extract_heavy_path,
+    "clean_text": lambda s, d: textstats.clean_documents(_t(s, d, "documents")),
+    "cjk_boilerplate_filter": lambda s, d: textstats.cjk_filter_counts(_t(s, d, "documents")),
+    "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
+    "quality_score": lambda s, d: textstats.quality_scores(_t(s, d, "documents")),
+    "lang_id": lambda s, d: textstats.lang_id(_t(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
+    "char_vocab": lambda s, d: textstats.char_vocab(_t(s, d, "documents")),
+    "length_histogram": lambda s, d: textstats.length_histogram(_t(s, d, "documents")),
+    "edit_distance": lambda s, d: textstats.edit_distances(_t(s, d, "documents")),
+    "dedup_exact": lambda s, d: dedup.exact_dup_groups(_t(s, d, "documents")),
+    "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
+    "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
+    "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
+    "mutual_nearest_pair": lambda s, d: pairing.mutual_nearest_events(_t(s, d, "events")),
+    "topk_per_group": lambda s, d: pairing.topk_per_type(_t(s, d, "events")),
+    "value_band_join": lambda s, d: pairing.value_bands(_t(s, d, "events")),
+    "sessionize": lambda s, d: pairing.sessionize(_t(s, d, "events")),
+    "pricing_summary": lambda s, d: tpch.pricing_summary(_t(s, d, "lineitem")),
+    "top_revenue_orders": lambda s, d: tpch.top_revenue_orders(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
+    "event_rollup": lambda s, d: tpch.event_rollup(_t(s, d, "events")),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SQL_MATCHING = TRANSLATE_MATCHING.replace("'", "''")
+_SQL_REPLACE = TRANSLATE_REPLACE.replace("'", "''")
+_CLEAN = (
+    "translate(substr(text, 1, 40) || '１＋２＝３＝４', "
+    f"'{_SQL_MATCHING}', '{_SQL_REPLACE}')"
+)
+
+ORACLES: dict[str, str] = {
+    "clean_text": f"""
+        SELECT doc_id,
+               CASE WHEN len(string_split(c, '=')) > 2
+                    THEN string_split(c, '=')[1] || '=' || string_split(c, '=')[-1]
+                    ELSE c END AS cleaned
+        FROM (SELECT doc_id, {_CLEAN} AS c FROM documents)
+    """,
+    "cjk_boilerplate_filter": """
+        SELECT source, count(*) AS n_clean
+        FROM (SELECT source,
+                     CASE WHEN doc_id % 2 = 0 THEN text || '口算练习' ELSE text END AS t
+              FROM documents)
+        WHERE NOT regexp_matches(t, '[一-鿿]')
+        GROUP BY source
+    """,
+    "token_count": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+        FROM documents
+    """,
+    "quality_score": """
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[aeiou ]', '', 'g')) AS double)
+                 / length(text) AS consonant_ratio
+        FROM documents
+    """,
+    "lang_id": """
+        SELECT lang_guess, count(*) AS n_docs FROM (
+          SELECT CASE WHEN r < 0.52 THEN 'latin_vowelish'
+                      WHEN r < 0.60 THEN 'latin_mixed'
+                      ELSE 'latin_consonantish' END AS lang_guess
+          FROM (SELECT CAST(length(regexp_replace(text, '[aeiou ]', '', 'g')) AS double)
+                         / length(text) AS r
+                FROM documents))
+        GROUP BY lang_guess
+    """,
+    "doc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "char_vocab": """
+        SELECT DISTINCT ch FROM (
+          SELECT unnest(string_split(source, '')) AS ch FROM documents)
+        WHERE ch <> ''
+    """,
+    "length_histogram": """
+        SELECT CAST(floor(n_chars / 100) * 100 AS bigint) AS bin, count(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "edit_distance": """
+        SELECT doc_id,
+               levenshtein(substr(text, 1, 20), substr(text, 21, 20)) AS lev
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents)
+        GROUP BY fp
+    """,
+    "minhash_signature": """
+        SELECT doc_id,
+               list_min(list_transform(generate_series(1, len(words) - 4),
+                        i -> md5(array_to_string(words[i:i+4], ' ')))) AS minhash
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= 5
+    """,
+    "near_dup_pairs": """
+        WITH sig AS (
+          SELECT doc_id,
+                 list_min(list_transform(generate_series(1, len(words) - 4),
+                          i -> md5(array_to_string(words[i:i+4], ' ')))) AS minhash
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+          WHERE len(words) >= 5)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.minhash AS bucket
+        FROM sig a JOIN sig b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
+    """,
+    "knn_cosine_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.v, e.v), 6) AS cos
+          FROM e JOIN (SELECT * FROM e WHERE vec_id % 500 = 0) q
+            ON e.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+    """,
+    "mutual_nearest_pair": """
+        WITH n AS (
+          SELECT event_type, event_id,
+                 CASE WHEN prev_id IS NULL THEN next_id
+                      WHEN next_id IS NULL THEN prev_id
+                      WHEN value - prev_v <= next_v - value THEN prev_id
+                      ELSE next_id END AS nearest_id
+          FROM (SELECT event_type, event_id, value,
+                       lag(event_id)  OVER w AS prev_id,
+                       lag(value)     OVER w AS prev_v,
+                       lead(event_id) OVER w AS next_id,
+                       lead(value)    OVER w AS next_v
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)))
+        SELECT a.event_type AS event_type, a.event_id AS id_a, b.event_id AS id_b
+        FROM n a JOIN n b
+          ON a.nearest_id = b.event_id AND b.nearest_id = a.event_id
+         AND a.event_id < b.event_id
+    """,
+    "topk_per_group": """
+        SELECT event_type, rank, event_id FROM (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events)
+        WHERE rank <= 3
+    """,
+    "value_band_join": """
+        WITH bands AS (
+          SELECT event_type, sum(CAST(value AS decimal(28,6))) AS sum_v, count(*) AS n
+          FROM events GROUP BY event_type)
+        SELECT e.event_id,
+               CASE WHEN CAST(e.value AS decimal(28,6)) * b.n < b.sum_v
+                    THEN 'low' ELSE 'high' END AS band
+        FROM events e JOIN bands b USING (event_type)
+    """,
+    "sessionize": """
+        SELECT user_id, CAST(sum(new_session) AS bigint) AS n_sessions,
+               count(*) AS n_events
+        FROM (SELECT user_id,
+                     CASE WHEN prev_ts IS NULL THEN 1
+                          WHEN ts - prev_ts > INTERVAL 1800 SECOND THEN 1
+                          ELSE 0 END AS new_session
+              FROM (SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+        GROUP BY user_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS decimal(28,6))) AS double) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS decimal(28,6))) AS double) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS revenue
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "event_rollup": """
+        SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+               CAST(sum(CAST(value AS decimal(28,6))) AS double) AS sum_value
+        FROM events GROUP BY ROLLUP (event_type)
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,99 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- the flagship interleaved-document extraction (documents/sec is the
+  BASELINE.json metric; the corpus is the deterministic synthetic
+  interleaved table derived from the sf documents row count),
+- a representative slice of the relational operator inventory.
+
+Usage:  python bench.py            # one line of JSON on stdout
+Env:    SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, OCR_BENCH_QUERIES (csv)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_QUERIES = [
+    "ocr_extract_spans",
+    "clean_text",
+    "minhash_signature",
+    "knn_cosine_topk",
+    "mutual_nearest_pair",
+    "sessionize",
+    "pricing_summary",
+    "top_revenue_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    names = os.environ.get("OCR_BENCH_QUERIES", ",".join(DEFAULT_QUERIES)).split(",")
+
+    import __spark_entry__ as entry
+    from ocr_spark.plans.session import build_session
+
+    spark = build_session(master=f"local[{cpus}]", app_name="ocr_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    extract_rows = 0
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # warm up the JVM/python workers on a trivial job
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # stage the corpus once (untimed) — BASELINE.md measures the
+    # read -> extract -> write job, not corpus synthesis
+    import shutil
+    import tempfile
+
+    from ocr_spark.plans.extract import corpus_df, extract
+
+    workdir = tempfile.mkdtemp(prefix="ocr_bench_")
+    corpus_path = os.path.join(workdir, "corpus")
+    out_path = os.path.join(workdir, "extracted")
+    corpus_df(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+
+    for name in names:
+        t0 = time.time()
+        if name == "ocr_extract_spans":
+            extract(spark.read.parquet(corpus_path)).write.mode("overwrite").parquet(out_path)
+            extract_rows = spark.read.parquet(out_path).count()
+        else:
+            qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["ocr_extract_spans"], 2) if "ocr_extract_spans" in timings else None
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+                "extract_rows": extract_rows,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

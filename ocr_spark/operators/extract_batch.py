@@ -1,0 +1,102 @@
+"""Arrow-batch extraction kernels (pandas in, pandas out — no Spark
+imports, so unit tests run without a JVM).
+
+Two granularities, both produced by the same per-span primitives:
+
+- ``extract_doc_batch``: whole documents per row (light path). Text
+  spans are cleaned VECTORIZED across the whole Arrow batch (one
+  str.translate over every text span of every document in the batch);
+  media spans run the per-page OCR chain.
+- ``extract_span_batch``: one span per row (heavy path, used after
+  exploding media-heavy documents). Emits a ``seq`` column (position
+  within the span); the global ``order`` is restored by a window on
+  (doc_id ORDER BY offset, seq) in the Spark plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ocr_spark.functions.text_clean import clean_text_series, has_cjk_series
+from ocr_spark.operators.postprocess import extract_media_span
+
+OUT_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref"]
+SPAN_OUT_COLUMNS = ["doc_id", "offset", "seq", "kind", "text", "media_ref"]
+
+
+def clean_text_spans(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized text-span cleaning. Returns (cleaned, keep_mask):
+    spans that are empty after cleaning or contain CJK (boilerplate)
+    are dropped."""
+    cleaned = clean_text_series(raw)
+    keep = (cleaned != "") & (~has_cjk_series(cleaned))
+    return cleaned, keep
+
+
+def extract_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, spans) -> exploded extracted spans."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        # flatten every span of the batch into one frame
+        recs = []
+        for row_i, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
+            for s in spans:
+                recs.append((doc_id, row_i, s["kind"], s["text"], s["media_ref"], s["offset"]))
+        if not recs:
+            continue
+        flat = pd.DataFrame(recs, columns=["doc_id", "row", "kind", "text", "media_ref", "offset"])
+        flat.sort_values(["row", "offset"], inplace=True, kind="stable")
+
+        is_text = flat["kind"] == "text"
+        cleaned = pd.Series("", index=flat.index, dtype=object)
+        keep = pd.Series(False, index=flat.index)
+        if is_text.any():
+            c, k = clean_text_spans(flat.loc[is_text, "text"])
+            cleaned.loc[is_text] = c
+            keep.loc[is_text] = k
+
+        out_rows = []
+        for doc_id, grp in flat.groupby("row", sort=True):
+            order = 0
+            did = grp["doc_id"].iloc[0]
+            for idx in grp.index:
+                if flat.at[idx, "kind"] == "text":
+                    if keep.at[idx]:
+                        out_rows.append((did, order, "text", cleaned.at[idx], ""))
+                        order += 1
+                else:
+                    ref = flat.at[idx, "media_ref"]
+                    for text in extract_media_span(ref):
+                        out_rows.append((did, order, "media", text, ref))
+                        order += 1
+        yield pd.DataFrame(out_rows, columns=OUT_COLUMNS)
+
+
+def extract_span_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for exploded spans:
+    (doc_id, kind, text, media_ref, offset) -> per-span sequences."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out_rows = []
+        is_text = pdf["kind"] == "text"
+        cleaned = pd.Series("", index=pdf.index, dtype=object)
+        keep = pd.Series(False, index=pdf.index)
+        if is_text.any():
+            c, k = clean_text_spans(pdf.loc[is_text, "text"])
+            cleaned.loc[is_text] = c
+            keep.loc[is_text] = k
+        for idx in pdf.index:
+            doc_id = pdf.at[idx, "doc_id"]
+            offset = int(pdf.at[idx, "offset"])
+            if pdf.at[idx, "kind"] == "text":
+                if keep.at[idx]:
+                    out_rows.append((doc_id, offset, 0, "text", cleaned.at[idx], ""))
+            else:
+                ref = pdf.at[idx, "media_ref"]
+                for seq, text in enumerate(extract_media_span(ref)):
+                    out_rows.append((doc_id, offset, seq, "media", text, ref))
+        yield pd.DataFrame(out_rows, columns=SPAN_OUT_COLUMNS)

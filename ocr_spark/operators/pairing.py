@@ -1,0 +1,98 @@
+"""Table-level analogues of the reference's pairing/windowing operators
+(SURVEY.md §2.3/§2.5/§2.6) over the events table:
+
+- mutual-nearest pairing (J1's two-window pattern at table level);
+- top-k per group (O3);
+- band/interval assignment against an aggregated dim (J8);
+- gap-based sessionization (the streaming-adjacent stateful scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def mutual_nearest_events(events: DataFrame) -> DataFrame:
+    """Within each event_type, each event's nearest neighbor by value
+    is its predecessor or successor on the value axis; keep mutual
+    pairs (a < b). Two window passes — no O(n^2) join."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    e = events.select("event_type", "event_id", "value")
+    e = e.withColumn("prev_id", F.lag("event_id").over(w)).withColumn(
+        "prev_v", F.lag("value").over(w)
+    )
+    e = e.withColumn("next_id", F.lead("event_id").over(w)).withColumn(
+        "next_v", F.lead("value").over(w)
+    )
+    nearest = (
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(
+            F.col("value") - F.col("prev_v") <= F.col("next_v") - F.col("value"),
+            F.col("prev_id"),
+        )
+        .otherwise(F.col("next_id"))
+    )
+    n = e.select("event_type", "event_id", nearest.alias("nearest_id"))
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nearest_id") == F.col("b.event_id"))
+            & (F.col("b.nearest_id") == F.col("a.event_id"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+        )
+    )
+
+
+def topk_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("event_type", "rank", "event_id")
+    )
+
+
+def value_bands(events: DataFrame) -> DataFrame:
+    """Assign each event to a low/high band around its type's exact
+    mean. The mean compare is done in exact decimal arithmetic
+    (value * n < sum) so engines can't disagree on boundary rounding.
+    The bands dim is tiny -> broadcast join."""
+    bands = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_v"),
+        F.count("*").alias("n"),
+    )
+    return events.join(F.broadcast(bands), "event_type").select(
+        "event_id",
+        F.when(
+            F.col("value").cast("decimal(28,6)") * F.col("n") < F.col("sum_v"), "low"
+        )
+        .otherwise("high")
+        .alias("band"),
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Count gap-delimited sessions per user (watermark-friendly
+    pattern: in streaming this is session_window / applyInPandasWithState;
+    in batch a lag + cumulative-flag scan)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.expr(f"INTERVAL {gap_seconds} SECOND")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col("ts") - prev_ts > gap, 1)
+        .otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

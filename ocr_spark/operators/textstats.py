@@ -1,0 +1,107 @@
+"""Text-analysis operators over a (doc_id, text, ...) documents table.
+
+Table-level analogues of the reference's string/metric operators
+(SURVEY.md §2.8/§2.4): normalization chain (F1), CJK boilerplate
+filter (P2), token counting, quality scoring, language-id heuristic,
+fingerprinting (A7-ish), histograms (A6), edit distance (A8/F18).
+
+Every computed column is aliased identically to the DuckDB oracle SQL
+in __spark_entry__ so the driver's value-hash compare lines up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.config import CJK_HI, CJK_LO
+from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
+
+CJK_PATTERN = f"[{chr(CJK_LO)}-{chr(CJK_HI)}]"
+
+# a deterministic dirty suffix so the normalization chain has real work
+# to do on the (ASCII-only) synthetic documents table
+DIRTY_SUFFIX = "１＋２＝３＝４"
+CJK_SUFFIX = "口算练习"
+
+
+def clean_expr(col):
+    """Normalization chain as a Catalyst expression: one translate +
+    double-'=' repair (no UDF — whole-stage codegen keeps this JVM-side)."""
+    c = F.translate(col, TRANSLATE_MATCHING, TRANSLATE_REPLACE)
+    parts = F.split(c, "=")
+    return F.when(
+        F.size(parts) > 2,
+        F.concat(F.element_at(parts, 1), F.lit("="), F.element_at(parts, -1)),
+    ).otherwise(c)
+
+
+def clean_documents(docs: DataFrame) -> DataFrame:
+    dirty = F.concat(F.substring("text", 1, 40), F.lit(DIRTY_SUFFIX))
+    return docs.select("doc_id", clean_expr(dirty).alias("cleaned"))
+
+
+def cjk_filter_counts(docs: DataFrame) -> DataFrame:
+    """Mark half the corpus with CJK boilerplate, count survivors of
+    the no-CJK filter per source (P2 at table level)."""
+    marked = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(CJK_SUFFIX))
+    ).otherwise(F.col("text"))
+    return (
+        docs.select("source", marked.alias("t"))
+        .where(~F.col("t").rlike(CJK_PATTERN))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_clean"))
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"), F.col("n_chars")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    consonant_ratio = (
+        F.length(F.regexp_replace("text", "[aeiou ]", "")) / F.length("text")
+    ).cast("double")
+    return docs.select("doc_id", consonant_ratio.alias("consonant_ratio"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    ratio = (
+        F.length(F.regexp_replace("text", "[aeiou ]", "")) / F.length("text")
+    ).cast("double")
+    label = (
+        F.when(ratio < 0.52, "latin_vowelish")
+        .when(ratio < 0.60, "latin_mixed")
+        .otherwise("latin_consonantish")
+    )
+    return docs.select(label.alias("lang_guess")).groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+
+
+def char_vocab(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split("source", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    bin_col = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return docs.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def edit_distances(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 20), F.substring("text", 21, 20)).alias(
+            "lev"
+        ),
+    )

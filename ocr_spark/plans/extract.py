@@ -1,0 +1,144 @@
+"""The extraction job plan.
+
+Physical strategy (designed for 10^12-document scale, exercised on
+local[N]):
+
+    corpus scan (doc_id, spans)
+      ├── light docs (media spans <= HEAVY_MEDIA_SPANS)
+      │     salted repartition on pmod(xxhash64(doc_id), buckets)
+      │     -> mapInPandas(extract_doc_batch)          [no shuffle after]
+      └── heavy docs (the ~1% media-heavy skew tail)
+            posexplode(spans)  -> per-SPAN rows         [splits hot docs]
+            repartition on xxhash64(doc_id, offset)     [uniform units]
+            -> mapInPandas(extract_span_batch)
+            -> window row_number() over (doc_id ORDER BY offset, seq)
+    union
+
+Why: extraction is per-document, so the only skew risk is a single
+document whose media cost dwarfs the batch median (FIXTURES.md: 50-200
+media spans vs 2-5). AQE cannot split one Arrow batch created by one
+hot row, so the plan splits those documents into per-span work units
+BEFORE the python workers see them — explicit skew handling as
+required by the north rule. The light path avoids the ordering
+shuffle entirely (order is computed inside the kernel).
+
+Both paths produce identical rows (tested), so the threshold is a pure
+performance knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.config import HEAVY_MEDIA_SPANS
+from ocr_spark.operators.extract_batch import extract_doc_batch, extract_span_batch
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("order", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+    ]
+)
+
+_SPAN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+    ]
+)
+
+
+def corpus_df(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic interleaved corpus as a DataFrame.
+
+    Generated distributed: spark.range over ids -> mapInPandas, so no
+    driver-side materialization (the 10^12-scale story: generation is
+    a parallel map over the id space)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ocr_spark.sources.corpus import doc_spans  # noqa: PLC0415
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [f"doc-{int(i):08d}" for i in pdf["id"]]
+            yield pd.DataFrame({"doc_id": ids, "spans": [doc_spans(d) for d in ids]})
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
+
+
+def media_span_count(col="spans"):
+    return F.size(F.filter(col, lambda s: s["kind"] == F.lit("media")))
+
+
+def extract(
+    docs: DataFrame,
+    heavy_threshold: int = HEAVY_MEDIA_SPANS,
+    buckets: int | None = None,
+) -> DataFrame:
+    """docs (doc_id, spans) -> extracted spans
+    (doc_id, order, kind, text, media_ref)."""
+    spark = docs.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism * 2
+
+    docs = docs.withColumn("_n_media", media_span_count())
+
+    light = (
+        docs.where(F.col("_n_media") <= heavy_threshold)
+        .drop("_n_media")
+        .repartition(buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+        .mapInPandas(extract_doc_batch, schema=OUT_SCHEMA)
+    )
+
+    heavy_spans = (
+        docs.where(F.col("_n_media") > heavy_threshold)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .repartition(buckets, F.pmod(F.xxhash64("doc_id", "offset"), F.lit(buckets)))
+        .mapInPandas(extract_span_batch, schema=_SPAN_OUT_SCHEMA)
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "seq")
+    heavy = heavy_spans.select(
+        "doc_id",
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("order"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+
+    return light.unionByName(heavy)

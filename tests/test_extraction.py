@@ -1,0 +1,66 @@
+"""Document-level extraction vs frozen oracle fixtures — pandas-only
+(no JVM): exercises the same batch kernels the Spark plan wraps."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_spark.operators.extract_batch import extract_doc_batch, extract_span_batch
+from ocr_spark.sources.corpus import doc_ids, doc_spans
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "expected_spans.parquet")
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return pq.read_table(FIXTURES).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs():
+    ids = doc_ids(400)
+    return pd.DataFrame({"doc_id": ids, "spans": [doc_spans(d) for d in ids]})
+
+
+def test_doc_batch_matches_fixtures(expected, docs):
+    out = pd.concat(list(extract_doc_batch(iter([docs]))), ignore_index=True)
+    out = out.sort_values(["doc_id", "order"], ignore_index=True)
+    exp = expected.sort_values(["doc_id", "order"], ignore_index=True)
+    assert len(out) == len(exp)
+    for col in ["doc_id", "order", "kind", "text", "media_ref"]:
+        mism = (out[col].astype(str) != exp[col].astype(str)).sum()
+        assert mism == 0, f"{mism} mismatches in {col}"
+
+
+def test_span_batch_path_equals_doc_batch_path(docs):
+    """The heavy (span-exploded) path must produce identical spans."""
+    doc_out = pd.concat(list(extract_doc_batch(iter([docs.iloc[:80]]))), ignore_index=True)
+
+    recs = []
+    for did, spans in zip(docs["doc_id"].iloc[:80], docs["spans"].iloc[:80]):
+        for s in spans:
+            recs.append((did, s["kind"], s["text"], s["media_ref"], s["offset"]))
+    flat = pd.DataFrame(recs, columns=["doc_id", "kind", "text", "media_ref", "offset"])
+    span_out = pd.concat(list(extract_span_batch(iter([flat]))), ignore_index=True)
+    span_out = span_out.sort_values(["doc_id", "offset", "seq"], ignore_index=True)
+    span_out["order"] = span_out.groupby("doc_id").cumcount()
+
+    a = doc_out.sort_values(["doc_id", "order"], ignore_index=True)
+    b = span_out[["doc_id", "order", "kind", "text", "media_ref"]].sort_values(
+        ["doc_id", "order"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_batch_invariance(docs):
+    """Splitting the input into different Arrow-batch sizes must not
+    change results (ordering is per-document, not per-batch)."""
+    head = docs.iloc[:40]
+    whole = pd.concat(list(extract_doc_batch(iter([head]))), ignore_index=True)
+    chunks = [head.iloc[i : i + 7] for i in range(0, 40, 7)]
+    split = pd.concat(list(extract_doc_batch(iter(chunks))), ignore_index=True)
+    a = whole.sort_values(["doc_id", "order"], ignore_index=True)
+    b = split.sort_values(["doc_id", "order"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
