@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
-from ocr_spark.operators import dedup, pairing, similarity, textstats, tpch
+from ocr_spark.operators import dedup, multimodal, pairing, similarity, textstats, tpch
 from ocr_spark.plans.extract import corpus_df, extract
 
 
@@ -64,7 +64,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": lambda s, d: dedup.exact_dup_groups(_t(s, d, "documents")),
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
+    "simhash_fingerprint": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+    "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
+    "ivf_assign": lambda s, d: similarity.ivf_assign(_t(s, d, "embeddings")),
+    "knn_cosine_ivf": lambda s, d: similarity.knn_cosine_ivf(_t(s, d, "embeddings")),
+    "embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
+        _t(s, d, "embeddings")
+    ),
+    "media_catalog": lambda s, d: multimodal.media_catalog(
+        multimodal.refs_from_doc_table(_t(s, d, "documents"))
+    ),
+    "ocr_media_decode_stats": lambda s, d: multimodal.decode_stats(
+        multimodal.refs_from_doc_table(_t(s, d, "documents"))
+    ),
+    "ocr_media_frame_sample": lambda s, d: multimodal.sampled_frames(
+        multimodal.refs_from_doc_table(_t(s, d, "documents"))
+    ),
     "mutual_nearest_pair": lambda s, d: pairing.mutual_nearest_events(_t(s, d, "events")),
     "topk_per_group": lambda s, d: pairing.topk_per_type(_t(s, d, "events")),
     "value_band_join": lambda s, d: pairing.value_bands(_t(s, d, "events")),
@@ -161,6 +177,85 @@ ORACLES: dict[str, str] = {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.minhash AS bucket
         FROM sig a JOIN sig b ON a.minhash = b.minhash AND a.doc_id < b.doc_id
     """,
+    "simhash_fingerprint": """
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        s AS (SELECT doc_id, j,
+                     sum(CASE WHEN strpos('89abcdef',
+                                          substr(md5(tok), CAST(j + 1 AS int), 1)) > 0
+                              THEN 1 ELSE -1 END) AS c
+              FROM t, range(16) r(j) GROUP BY doc_id, j)
+        SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN 1 << j ELSE 0 END) AS bigint)
+                 AS simhash
+        FROM s GROUP BY doc_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(generate_series(1, len(w) - 4),
+                               i -> md5(array_to_string(w[i:i+4], ' ')))) AS sh,
+                      list_min(list_transform(generate_series(1, len(w) - 4),
+                               i -> md5(array_to_string(w[i:i+4], ' ')))) AS mh
+               FROM w WHERE len(w) >= 5),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sh a JOIN sh b ON a.mh = b.mh AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS double)
+                       / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                  JOIN sh sb ON sb.doc_id = doc_b
+    """,
+    "ivf_assign": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        s AS (SELECT e.vec_id, c.cell_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell_id ASC) AS rn
+              FROM e, c)
+        SELECT vec_id, cell_id FROM s WHERE rn = 1
+    """,
+    "knn_cosine_ivf": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM e, c) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+              FROM ev WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.query_id, ev.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qv, ev.v), 6) AS cos
+          FROM ev JOIN q ON ev.cell_id = q.qcell AND ev.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
+    """,
+    "embedding_near_dup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM e, c) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id))
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM ev a JOIN ev b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
     "knn_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
         scored AS (
@@ -174,6 +269,35 @@ ORACLES: dict[str, str] = {
                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+    """,
+    "media_catalog": """
+        WITH refs AS (
+          SELECT 'm-' || substr(md5(CAST(doc_id AS varchar)), 1, 12) AS media_ref
+          FROM documents),
+        h AS (SELECT media_ref, md5(media_ref) AS h FROM refs),
+        n AS (SELECT media_ref,
+                     (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS p1,
+                     (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS p3,
+                     (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS p5,
+                     (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 8, 1)) - 1 AS p7,
+                     (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(h, 10, 1)) - 1 AS p9
+              FROM h)
+        SELECT media_ref,
+               ['image', 'audio', 'video'][p1 % 3 + 1] AS media_type,
+               ['jpeg', 'png', 'webp', 'gif'][p3 % 4 + 1] AS format,
+               CAST(320 + (p5 % 8) * 160 AS int) AS width,
+               CAST(240 + (p7 % 8) * 120 AS int) AS height,
+               CAST(CASE WHEN p1 % 3 = 2 THEN 1 + p9 % 30 ELSE 1 END AS int)
+                 AS n_frames,
+               CAST((320 + (p5 % 8) * 160) * (240 + (p7 % 8) * 120) * 3
+                    * (CASE WHEN p1 % 3 = 2 THEN 1 + p9 % 30 ELSE 1 END) AS bigint)
+                 AS n_bytes
+        FROM n
     """,
     "mutual_nearest_pair": """
         WITH n AS (

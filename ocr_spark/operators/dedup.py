@@ -49,3 +49,76 @@ def near_dup_pairs(docs: DataFrame) -> DataFrame:
             F.col("a.minhash").alias("bucket"),
         )
     )
+
+
+# -- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16  # demo width; production uses 64 bits + banded join
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document SimHash over word tokens, entirely expression-level
+    (no UDF — the whole computation stays in whole-stage codegen).
+
+    Bit j of the fingerprint is the sign of sum_tokens(+1/-1) where a
+    token votes +1 iff the j-th hex nibble of its md5 has its high bit
+    set. This is textbook Charikar SimHash with a 16-bit width so the
+    unit/oracle checks stay readable; at 100 TB the same expression
+    with 64 bits feeds a banded Hamming-distance self-join (4 bands of
+    16 bits: near-dups within distance d collide on >=1 band), which
+    shuffles only (band, fingerprint) pairs — never document text.
+    """
+    b = SIMHASH_BITS
+    counters = F.expr(
+        f"aggregate(split(text, ' '), array_repeat(0, {b}), "
+        f"(acc, t) -> zip_with(acc, transform(sequence(0, {b - 1}), "
+        f"j -> CASE WHEN instr('89abcdef', substr(md5(t), j + 1, 1)) > 0 "
+        f"THEN 1 ELSE -1 END), (a, c) -> a + c))"
+    )
+    fp = F.expr(
+        f"aggregate(zip_with(cnt, sequence(0, {b - 1}), "
+        f"(c, j) -> CASE WHEN c > 0 THEN shiftleft(1, j) ELSE 0 END), "
+        f"0, (a, v) -> a + v)"
+    )
+    return (
+        docs.select("doc_id", counters.alias("cnt"))
+        .select("doc_id", fp.cast("bigint").alias("simhash"))
+    )
+
+
+# -- exact n-gram Jaccard verification ------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact word-shingle Jaccard for MinHash candidate pairs.
+
+    Stage 2 of the dedup funnel: the (cheap, recall-oriented) minhash
+    bucket join proposes candidates; this verifies each with the exact
+    set overlap. Only candidate doc_ids rejoin the shingle relation, so
+    the expensive sets are materialized for the candidate subset only —
+    at scale that is the difference between |corpus|^2 and |candidates|.
+    Jaccard is rounded to 6 decimals (order-independent across engines).
+    """
+    w = F.split("text", " ")
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(0, size(w) - {SHINGLE}), "
+        f"i -> md5(concat_ws(' ', slice(w, i + 1, {SHINGLE})))))"
+    )
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= SHINGLE)
+        .select("doc_id", shingles.alias("sh"))
+    )
+    cand = near_dup_pairs(docs).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )

@@ -42,3 +42,97 @@ def knn_cosine_topk(emb: DataFrame, every: int = 500, k: int = 10) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+# -- IVF (coarse-quantized) scale path ------------------------------------
+
+CENTROID_STRIDE = 100  # every 100th vector acts as a codebook entry
+QUERY_EVERY = 50
+
+
+def ivf_assign(emb: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid.
+
+    The codebook here is a deterministic subsample (every ``stride``-th
+    vector) so the assignment is reproducible across engines; in
+    production the codebook comes from a k-means sample, but the plan
+    shape is identical: broadcast the (tiny) codebook, one pass over
+    the corpus, argmax by cosine with centroid-id tie-break, NO
+    corpus-sized shuffle. Returns (vec_id, cell_id)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = e.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    return (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "cell_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+def knn_cosine_ivf(
+    emb: DataFrame,
+    every: int = QUERY_EVERY,
+    k: int = 10,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """ANN top-k: each query searches only its own IVF cell.
+
+    This is the 100 TB path for knn_cosine_topk: the candidate set per
+    query shrinks from |corpus| to |cell| (~corpus/stride), the join is
+    an equi-join on cell_id (shuffle on a low-cardinality key after
+    the broadcast assignment pass), and the scoring kernel is the same
+    JVM-side zip_with/aggregate fold. nprobe=1 here; raising nprobe =
+    keeping the top-n cells from the assignment window instead of 1.
+    Returns (query_id, rank, neighbor_id, cos)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assign = ivf_assign(emb, stride)
+    ev = e.join(assign, "vec_id")
+    q = ev.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell_id").alias("qcell"),
+    )
+    pairs = ev.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(_dot("qv", "v") / (_norm("qv") * _norm("v")), 6)
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.25, stride: int = CENTROID_STRIDE
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, restricted to IVF cells.
+
+    The dedup-by-embedding stage of a training-data pipeline: pairs
+    above ``threshold`` cosine are duplicate candidates. Blocking by
+    IVF cell makes the self-join |cell|^2 instead of |corpus|^2; the
+    threshold filter runs inside the join (Catalyst pushes it into the
+    sort-merge/broadcast join condition evaluation), so only surviving
+    pairs materialize. Returns (vec_id_a, vec_id_b, cos)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ev = e.join(ivf_assign(emb, stride), "vec_id")
+    a = ev.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), F.col("cell_id").alias("ca")
+    )
+    b = ev.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("cell_id").alias("cb")
+    )
+    cos = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+    return (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+        .select("vec_id_a", "vec_id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
