@@ -69,29 +69,38 @@ def beam_decode(probs: np.ndarray, k: int = BEAM_K) -> list[tuple[tuple[int, ...
     behavior matches reference pipline.py:31-84 (see module docstring).
     """
     neglog = -np.log(probs.astype(np.float64))
-    beams: list[tuple[tuple[int, ...], float]] = [((), 0.0)]
     n_classes = probs.shape[1]
+    # Vectorized equivalent of the candidate double loop: scores for
+    # all (beam x class) extensions in one array, stable argsort
+    # (generation order -- beam-major, class-minor -- breaks ties,
+    # exactly like the reference's stable list sort), then sequences
+    # are materialized lazily only for the candidates actually visited
+    # before k unique survivors are found.
+    beam_seqs: list[tuple[int, ...]] = [()]
+    beam_scores = np.zeros(1, dtype=np.float64)
     for t in range(probs.shape[0]):
-        row = neglog[t]
-        cands: list[tuple[tuple[int, ...], float]] = []
-        for seq, score in beams:
-            last = seq[-1] if seq else None
-            for j in range(n_classes):
-                if seq and last == j and j != BLANK_ID:
-                    cands.append((seq, score + row[j]))
-                else:
-                    base = seq[:-1] if (seq and last == BLANK_ID) else seq
-                    cands.append((base + (j,), score + row[j]))
-        cands.sort(key=lambda c: c[1])  # stable -> generation order breaks ties
-        beams = []
+        flat = (beam_scores[:, None] + neglog[t][None, :]).ravel()
+        order = np.argsort(flat, kind="stable")
+        new_seqs: list[tuple[int, ...]] = []
+        new_scores: list[float] = []
         seen: set[tuple[int, ...]] = set()
-        for seq, score in cands:
-            if seq not in seen:
-                beams.append((seq, score))
-                seen.add(seq)
-                if len(beams) == k:
+        for idx in order:
+            b, j = divmod(int(idx), n_classes)
+            seq = beam_seqs[b]
+            if seq and seq[-1] == j and j != BLANK_ID:
+                nseq = seq
+            else:
+                base = seq[:-1] if (seq and seq[-1] == BLANK_ID) else seq
+                nseq = base + (j,)
+            if nseq not in seen:
+                seen.add(nseq)
+                new_seqs.append(nseq)
+                new_scores.append(flat[idx])
+                if len(new_seqs) == k:
                     break
-    return beams
+        beam_seqs = new_seqs
+        beam_scores = np.asarray(new_scores, dtype=np.float64)
+    return list(zip(beam_seqs, (float(s) for s in beam_scores)))
 
 
 def beam_decode_texts(probs: np.ndarray, k: int = BEAM_K) -> list[str]:

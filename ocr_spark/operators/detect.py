@@ -48,8 +48,10 @@ def detect_page(page: Page) -> tuple[np.ndarray, list[str]]:
     contract of reference pipline.py:648."""
     rng = np.random.default_rng(stable_seed("detect", page.media_ref))
 
-    # 1. anchor scoring
-    anchors = []  # (left, top, right, bottom, cls, score)
+    # 1. anchor scoring — loop over segments only (the rng draw order
+    # is part of the frozen-fixture contract), anchors built as
+    # columnar arrays per segment
+    cols_l, cols_t, cols_r, cols_b, cols_s, cols_c = [], [], [], [], [], []
     for seg in page.segments:
         base = rng.uniform(0.80, 0.99)
         missed = rng.random() < MISS_PROB
@@ -57,27 +59,57 @@ def detect_page(page: Page) -> tuple[np.ndarray, list[str]]:
         x1 = np.ceil(seg.bbox[2] / ANCHOR_WIDTH) * ANCHOR_WIDTH
         n_slots = max(int((x1 - x0) / ANCHOR_WIDTH), 1)
         jitter = rng.uniform(-0.05, 0.05, size=n_slots)
-        for k in range(n_slots):
-            score = base + jitter[k]
-            if missed:
-                score *= 0.3
-            anchors.append(
-                (
-                    x0 + k * ANCHOR_WIDTH,
-                    seg.bbox[1],
-                    x0 + (k + 1) * ANCHOR_WIDTH,
-                    seg.bbox[3],
-                    seg.cls,
-                    score,
-                )
-            )
-    anchors = [a for a in anchors if a[5] > SCORE_THRESHOLD]
-    if not anchors:
+        score = base + jitter
+        if missed:
+            score = score * 0.3
+        ks = np.arange(n_slots, dtype=np.float64)
+        cols_l.append(x0 + ks * ANCHOR_WIDTH)
+        cols_r.append(x0 + (ks + 1) * ANCHOR_WIDTH)
+        cols_t.append(np.full(n_slots, seg.bbox[1]))
+        cols_b.append(np.full(n_slots, seg.bbox[3]))
+        cols_s.append(score)
+        cols_c.append(np.full(n_slots, 0 if seg.cls == "print" else 1, dtype=np.int64))
+    if not cols_l:
+        return np.zeros((0, 4), dtype=np.float64), []
+    al = np.concatenate(cols_l)
+    at = np.concatenate(cols_t)
+    ar = np.concatenate(cols_r)
+    ab = np.concatenate(cols_b)
+    ascore = np.concatenate(cols_s)
+    acls = np.concatenate(cols_c)
+
+    keepmask = ascore > SCORE_THRESHOLD
+    al, at, ar, ab, ascore, acls = (
+        v[keepmask] for v in (al, at, ar, ab, ascore, acls)
+    )
+    n = len(al)
+    if n == 0:
         return np.zeros((0, 4), dtype=np.float64), []
 
-    # 2. text-line construction: union-find over the adjacency graph
-    anchors.sort(key=lambda a: (a[1], a[0]))
-    n = len(anchors)
+    # stable (top, left) order — same total order as the reference
+    # implementation's stable list sort
+    order = np.lexsort((al, at))
+    al, at, ar, ab, ascore, acls = (v[order] for v in (al, at, ar, ab, ascore, acls))
+
+    # 2. text-line construction: vectorized pairwise adjacency, then
+    # union-find only over the actual edges. The adjacency predicate is
+    # exactly the loop condition it replaces: same class, vertical
+    # overlap ratio >= 0.7 of the shorter anchor, horizontal gap <=
+    # LINE_MAX_GAP (the old loop's early `break` only skipped pairs
+    # with ov <= 0, so the edge set is identical).
+    heights = ab - at
+    ov = np.minimum(ab[:, None], ab[None, :]) - np.maximum(at[:, None], at[None, :])
+    minh = np.minimum(heights[:, None], heights[None, :])
+    gap = np.maximum(al[None, :] - ar[:, None], al[:, None] - ar[None, :])
+    adj = (
+        (acls[:, None] == acls[None, :])
+        & (ov > 0)
+        & (ov / minh >= 0.7)
+        & (gap <= LINE_MAX_GAP)
+    )
+    ii, jj = np.triu_indices(n, 1)
+    edge_mask = adj[ii, jj]
+
     parent = list(range(n))
 
     def find(i):
@@ -86,38 +118,22 @@ def detect_page(page: Page) -> tuple[np.ndarray, list[str]]:
             i = parent[i]
         return i
 
-    def union(i, j):
-        ri, rj = find(i), find(j)
+    for i, j in zip(ii[edge_mask], jj[edge_mask]):
+        ri, rj = find(int(i)), find(int(j))
         if ri != rj:
             parent[rj] = ri
-
-    for i in range(n):
-        li, ti, ri_, bi, ci, _ = anchors[i]
-        for j in range(i + 1, n):
-            lj, tj, rj_, bj, cj, _ = anchors[j]
-            if tj > bi:  # sorted by top: nothing below can overlap
-                break
-            if cj != ci:
-                continue
-            ov = min(bi, bj) - max(ti, tj)
-            if ov <= 0 or ov / min(bi - ti, bj - tj) < 0.7:
-                continue
-            gap = max(lj - ri_, li - rj_)
-            if gap <= LINE_MAX_GAP:
-                union(i, j)
 
     groups: dict[int, list[int]] = {}
     for i in range(n):
         groups.setdefault(find(i), []).append(i)
 
+    cls_names = ["print", "hand"]
     lines = []
     for members in groups.values():
-        arr = np.array([anchors[i][:4] for i in members], dtype=np.float64)
-        score = float(np.mean([anchors[i][5] for i in members]))
-        box = np.array(
-            [arr[:, 0].min(), arr[:, 1].min(), arr[:, 2].max(), arr[:, 3].max()]
-        )
-        lines.append((box, anchors[members[0]][4], score))
+        m = np.asarray(members)
+        score = float(np.mean(ascore[m]))
+        box = np.array([al[m].min(), at[m].min(), ar[m].max(), ab[m].max()])
+        lines.append((box, cls_names[int(acls[m[0]])], score))
 
     # 3. NMS
     lines.sort(key=lambda x: -x[2])

@@ -20,6 +20,19 @@ def build_session(
       media-heavy rows cannot balloon a single python worker;
     - shuffle partitions default to 2x cores (short tasks smooth skew).
     """
+    # one BLAS thread per python worker: task parallelism comes from
+    # Spark, not from numpy. Without this, K concurrent workers each
+    # spawning cpu_count() BLAS threads oversubscribe the box K-fold —
+    # measured 5x slowdown at local[32] on the extraction kernels.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -38,6 +51,11 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # cluster deployments: pin worker-side BLAS the same way (local
+        # mode inherits the driver env set above)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
