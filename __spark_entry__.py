@@ -90,6 +90,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
     ),
     "event_rollup": lambda s, d: tpch.event_rollup(_t(s, d, "events")),
+    "local_supplier_volume": lambda s, d: tpch.local_supplier_volume(
+        _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
+        _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem"),
+    ),
+    "order_priority_counts": lambda s, d: tpch.order_priority_counts(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    ),
+    "moving_avg": lambda s, d: pairing.moving_avg(_t(s, d, "events")),
+    "unmatched_events": lambda s, d: pairing.unmatched_events(_t(s, d, "events")),
 }
 
 
@@ -373,6 +382,64 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
                CAST(sum(CAST(value AS decimal(28,6))) AS double) AS sum_value
         FROM events GROUP BY ROLLUP (event_type)
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS decimal(28,6))) AS double) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "moving_avg": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                     6) AS avg_recent
+        FROM events
+    """,
+    "unmatched_events": """
+        WITH n AS (
+          SELECT event_type, event_id,
+                 CASE WHEN prev_id IS NULL THEN next_id
+                      WHEN next_id IS NULL THEN prev_id
+                      WHEN value - prev_v <= next_v - value THEN prev_id
+                      ELSE next_id END AS nearest_id
+          FROM (SELECT event_type, event_id, value,
+                       lag(event_id)  OVER w AS prev_id,
+                       lag(value)     OVER w AS prev_v,
+                       lead(event_id) OVER w AS next_id,
+                       lead(value)    OVER w AS next_v
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))),
+        pairs AS (
+          SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b
+          FROM n a JOIN n b
+            ON a.nearest_id = b.event_id AND b.nearest_id = a.event_id
+           AND a.event_id < b.event_id),
+        matched AS (
+          SELECT event_type, id_a AS event_id FROM pairs
+          UNION ALL
+          SELECT event_type, id_b AS event_id FROM pairs)
+        SELECT e.event_type, count(*) AS n_unmatched
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.event_type = e.event_type
+                            AND m.event_id = e.event_id)
+        GROUP BY e.event_type
     """,
 }
 

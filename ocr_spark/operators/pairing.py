@@ -96,3 +96,38 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.sum("new_session").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def moving_avg(events: DataFrame, frame: int = 2) -> DataFrame:
+    """Per-user moving average of value over the current + previous
+    ``frame`` events by time — the table-level twin of the reference's
+    bounded window-frame scan (W4, pipline.py:762-789 uses
+    rowsBetween(-2, ...) over forest order). Rounded to 6 decimals so
+    the float is insensitive to within-frame summation order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_recent"),
+    )
+
+
+def unmatched_events(events: DataFrame) -> DataFrame:
+    """Residue after matching (U1, reference pipline.py:168-175
+    `list.remove` loops): events of each type that did NOT end up in a
+    mutual-nearest pair — expressed as a left_anti join, which at scale
+    shuffles only the join keys instead of mutating per-row state."""
+    pairs = mutual_nearest_events(events)
+    matched = pairs.select(
+        F.col("event_type"), F.col("id_a").alias("event_id")
+    ).unionByName(pairs.select(F.col("event_type"), F.col("id_b").alias("event_id")))
+    return (
+        events.select("event_type", "event_id")
+        .join(matched, ["event_type", "event_id"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unmatched"))
+    )

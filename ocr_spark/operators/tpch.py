@@ -76,3 +76,58 @@ def event_rollup(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join where customer and supplier sit in
+    the same nation, restricted to one region.
+
+    Plan intent at 100 TB: region/nation/supplier/customer are the
+    small side — Catalyst broadcast-joins them (region+nation are KB,
+    supplier/customer fit the 10 MB auto-broadcast at test SFs and are
+    explicitly marked here); the only big shuffle is
+    lineitem JOIN orders on orderkey, which AQE sizes. Join order is
+    left to the optimizer — the declared shape lets it start from the
+    selective region filter."""
+    dims = (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    returned lineitem (the testdata lacks l_commitdate, so returnflag
+    stands in for the lateness predicate), counted per priority.
+    left_semi shuffles only the distinct orderkeys of the probe side."""
+    returned = lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            returned.select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

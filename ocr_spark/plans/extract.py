@@ -5,7 +5,8 @@ local[N]):
 
     corpus scan (doc_id, spans)
       ├── light docs (media spans <= HEAVY_MEDIA_SPANS)
-      │     salted repartition on pmod(xxhash64(doc_id), buckets)
+      │     [salted repartition on pmod(xxhash64(doc_id), buckets)
+      │      — only when needed, see below]
       │     -> mapInPandas(extract_doc_batch)          [no shuffle after]
       └── heavy docs (the ~1% media-heavy skew tail)
             posexplode(spans)  -> per-SPAN rows         [splits hot docs]
@@ -22,8 +23,19 @@ BEFORE the python workers see them — explicit skew handling as
 required by the north rule. The light path avoids the ordering
 shuffle entirely (order is computed inside the kernel).
 
-Both paths produce identical rows (tested), so the threshold is a pure
-performance knob.
+Salting policy (``salt=``): the light-path repartition exists to
+de-correlate per-row COST from the physical layout — vital when the
+input is clustered by cost (e.g. ingest order correlates with media
+density), pure overhead when the input is already hash-bucketed by
+doc_id (the production Iceberg spec) with enough partitions: dropping
+it removes a full shuffle of the corpus and measures 1.6x end-to-end
+(BENCH/scaling.json plan ablation). ``salt='auto'`` (default)
+repartitions only when the scan has fewer partitions than the
+cluster's parallelism; ``True``/``False`` force either behavior
+(bench uses both to evidence the trade).
+
+Both paths produce identical rows (tested), so threshold and salting
+are pure performance knobs.
 """
 
 from __future__ import annotations
@@ -104,20 +116,23 @@ def extract(
     docs: DataFrame,
     heavy_threshold: int = HEAVY_MEDIA_SPANS,
     buckets: int | None = None,
+    salt: bool | str = "auto",
 ) -> DataFrame:
     """docs (doc_id, spans) -> extracted spans
     (doc_id, order, kind, text, media_ref)."""
     spark = docs.sparkSession
-    buckets = buckets or spark.sparkContext.defaultParallelism * 2
+    parallelism = spark.sparkContext.defaultParallelism
+    buckets = buckets or parallelism * 2
 
     docs = docs.withColumn("_n_media", media_span_count())
 
-    light = (
-        docs.where(F.col("_n_media") <= heavy_threshold)
-        .drop("_n_media")
-        .repartition(buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
-        .mapInPandas(extract_doc_batch, schema=OUT_SCHEMA)
-    )
+    if salt == "auto":
+        salt = docs.rdd.getNumPartitions() < parallelism
+
+    light = docs.where(F.col("_n_media") <= heavy_threshold).drop("_n_media")
+    if salt:
+        light = light.repartition(buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+    light = light.mapInPandas(extract_doc_batch, schema=OUT_SCHEMA)
 
     heavy_spans = (
         docs.where(F.col("_n_media") > heavy_threshold)
