@@ -100,3 +100,81 @@ def extract_span_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 for seq, text in enumerate(extract_media_span(ref)):
                     out_rows.append((doc_id, offset, seq, "media", text, ref))
         yield pd.DataFrame(out_rows, columns=SPAN_OUT_COLUMNS)
+
+
+def extract_doc_batch_arrow(batches):
+    """mapInArrow kernel (Iterator[pa.RecordBatch] -> same): identical
+    rows to ``extract_doc_batch``, but the spans list<struct> column is
+    flattened with Arrow offsets instead of materializing a Python
+    dict per span — the Arrow->pandas conversion of nested structs was
+    the dominant per-document overhead in the Spark path (~8 ms/doc
+    measured; the OCR kernel itself is ~4.5 ms/doc).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    for b in batches:
+        n = b.num_rows
+        if n == 0:
+            continue
+        doc_ids = b.column("doc_id").to_pylist()
+        spans = b.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        lengths = pa.compute.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        row_idx = np.repeat(np.arange(n), lengths)
+        kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+        text = pd.Series(flat.field("text").to_pylist(), dtype=object)
+        media_ref = np.asarray(flat.field("media_ref").to_pylist(), dtype=object)
+        offset = flat.field("offset").to_numpy(zero_copy_only=False)
+
+        # canonical order (row, offset) — spans arrive offset-ordered,
+        # but the contract doesn't assume it
+        order_ix = np.lexsort((offset, row_idx))
+        row_idx, kind, media_ref = row_idx[order_ix], kind[order_ix], media_ref[order_ix]
+        text = text.iloc[order_ix].reset_index(drop=True)
+
+        is_text = kind == "text"
+        cleaned = np.empty(len(kind), dtype=object)
+        keep = np.zeros(len(kind), dtype=bool)
+        if is_text.any():
+            c, k = clean_text_spans(text[is_text].reset_index(drop=True))
+            cleaned[is_text] = c.to_numpy(dtype=object)
+            keep[is_text] = k.to_numpy()
+
+        out_doc, out_order, out_kind, out_text, out_ref = [], [], [], [], []
+        prev_row = -1
+        order = 0
+        for i in range(len(row_idx)):
+            r = row_idx[i]
+            if r != prev_row:
+                prev_row = r
+                order = 0
+            if is_text[i]:
+                if keep[i]:
+                    out_doc.append(doc_ids[r])
+                    out_order.append(order)
+                    out_kind.append("text")
+                    out_text.append(cleaned[i])
+                    out_ref.append("")
+                    order += 1
+            else:
+                ref = media_ref[i]
+                for t in extract_media_span(ref):
+                    out_doc.append(doc_ids[r])
+                    out_order.append(order)
+                    out_kind.append("media")
+                    out_text.append(t)
+                    out_ref.append(ref)
+                    order += 1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, pa.string()),
+                "order": pa.array(out_order, pa.int32()),
+                "kind": pa.array(out_kind, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "media_ref": pa.array(out_ref, pa.string()),
+            }
+        )

@@ -45,7 +45,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ocr_spark.config import HEAVY_MEDIA_SPANS
-from ocr_spark.operators.extract_batch import extract_doc_batch, extract_span_batch
+from ocr_spark.operators.extract_batch import (
+    extract_doc_batch_arrow,
+    extract_span_batch,
+)
 
 SPAN_TYPE = T.StructType(
     [
@@ -132,7 +135,11 @@ def extract(
     light = docs.where(F.col("_n_media") <= heavy_threshold).drop("_n_media")
     if salt:
         light = light.repartition(buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
-    light = light.mapInPandas(extract_doc_batch, schema=OUT_SCHEMA)
+    # mapInArrow: the spans list<struct> flattens via Arrow offsets in
+    # the kernel, skipping the per-span Python-dict materialization
+    # that Arrow->pandas conversion would do (extract_doc_batch is the
+    # pandas twin, kept for unit tests and as the reference semantics)
+    light = light.mapInArrow(extract_doc_batch_arrow, schema=OUT_SCHEMA)
 
     heavy_spans = (
         docs.where(F.col("_n_media") > heavy_threshold)

@@ -64,3 +64,47 @@ def test_batch_invariance(docs):
     a = whole.sort_values(["doc_id", "order"], ignore_index=True)
     b = split.sort_values(["doc_id", "order"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_arrow_kernel_matches_pandas_kernel():
+    """extract_doc_batch_arrow (mapInArrow fast path) must emit exactly
+    the rows of extract_doc_batch (pandas reference semantics)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_spark.operators.extract_batch import (
+        extract_doc_batch,
+        extract_doc_batch_arrow,
+    )
+    from ocr_spark.sources.corpus import doc_spans
+
+    ids = [f"doc-{i:08d}" for i in range(60)]
+    pdf = pd.DataFrame({"doc_id": ids, "spans": [doc_spans(d) for d in ids]})
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    rb = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "spans": pa.array(list(pdf["spans"]), pa.list_(span_t)),
+        }
+    )
+    got_pd = pd.concat(list(extract_doc_batch(iter([pdf])))).reset_index(drop=True)
+    got_ar = pa.Table.from_batches(
+        list(extract_doc_batch_arrow(iter([rb])))
+    ).to_pandas()
+    a = sorted(map(tuple, got_pd.itertuples(index=False)))
+    b = sorted(map(tuple, got_ar.itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+    # empty batch and empty-spans rows
+    empty = pa.RecordBatch.from_pydict(
+        {"doc_id": pa.array([], pa.string()), "spans": pa.array([], pa.list_(span_t))}
+    )
+    assert list(extract_doc_batch_arrow(iter([empty]))) == []
+    nospans = pa.RecordBatch.from_pydict(
+        {"doc_id": pa.array(["d1"]), "spans": pa.array([[]], pa.list_(span_t))}
+    )
+    out = list(extract_doc_batch_arrow(iter([nospans])))
+    assert sum(len(x) for x in out) == 0
