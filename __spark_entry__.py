@@ -61,6 +61,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_vocab": lambda s, d: textstats.char_vocab(_t(s, d, "documents")),
     "length_histogram": lambda s, d: textstats.length_histogram(_t(s, d, "documents")),
     "edit_distance": lambda s, d: textstats.edit_distances(_t(s, d, "documents")),
+    "arith_verdict_udf": lambda s, d: textstats.arith_verdicts(_t(s, d, "documents")),
     "dedup_exact": lambda s, d: dedup.exact_dup_groups(_t(s, d, "documents")),
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
@@ -163,6 +164,25 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                levenshtein(substr(text, 1, 20), substr(text, 21, 20)) AS lev
         FROM documents
+    """,
+    "arith_verdict_udf": """
+        WITH base AS (
+          SELECT doc_id,
+                 doc_id % 90 + 2 AS a,
+                 doc_id % 9 + 2 AS b,
+                 CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS wrong
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                      THEN a || '+=' || b
+                    WHEN doc_id % 7 = 0
+                      THEN a || '÷' || b || '=' || (a // b + wrong) || '*' || (a % b)
+                    ELSE a || '+' || b || '=' || (a + b + wrong)
+               END AS label,
+               CASE WHEN doc_id % 11 = 0 THEN 'problem'
+                    WHEN doc_id % 5 = 0 THEN 'error'
+                    ELSE 'right' END AS verdict
+        FROM base
     """,
     "dedup_exact": """
         SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper

@@ -24,12 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_QUERIES = [
     "ocr_extract_spans",
     "clean_text",
+    "arith_verdict_udf",
     "minhash_signature",
+    "simhash_fingerprint",
     "knn_cosine_topk",
+    "knn_cosine_ivf",
+    "media_catalog",
     "mutual_nearest_pair",
     "sessionize",
+    "moving_avg",
     "pricing_summary",
     "top_revenue_orders",
+    "local_supplier_volume",
 ]
 
 

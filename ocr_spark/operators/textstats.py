@@ -105,3 +105,36 @@ def edit_distances(docs: DataFrame) -> DataFrame:
             "lev"
         ),
     )
+
+
+def arith_verdicts(docs: DataFrame) -> DataFrame:
+    """Exercise the standalone arithmetic-verdict pandas UDF
+    (functions/udfs.py, reference utils.py:50-117) against labels
+    synthesized deterministically from doc_id: plain sums, the
+    division-with-remainder notation `a÷b=q*r`, a malformed `a+=b`
+    case, and a wrong-answer twist — so the DuckDB oracle can derive
+    the expected verdict arithmetically while Spark runs the real
+    kernel. Returns (doc_id, label, verdict)."""
+    from ocr_spark.functions.udfs import arith_state_udf  # noqa: PLC0415
+
+    a = (F.col("doc_id") % 90 + 2).cast("long")
+    b = (F.col("doc_id") % 9 + 2).cast("long")
+    wrong = (F.col("doc_id") % 5 == 0).cast("long")
+    plus_label = F.concat(
+        a.cast("string"), F.lit("+"), b.cast("string"),
+        F.lit("="), (a + b + wrong).cast("string"),
+    )
+    q = F.floor(a / b).cast("long") + wrong
+    divrem_label = F.concat(
+        a.cast("string"), F.lit("÷"), b.cast("string"),
+        F.lit("="), q.cast("string"), F.lit("*"), (a % b).cast("string"),
+    )
+    malformed = F.concat(a.cast("string"), F.lit("+="), b.cast("string"))
+    label = (
+        F.when(F.col("doc_id") % 11 == 0, malformed)
+        .when(F.col("doc_id") % 7 == 0, divrem_label)
+        .otherwise(plus_label)
+    )
+    return docs.select(
+        "doc_id", label.alias("label"), arith_state_udf(label).alias("verdict")
+    )
