@@ -70,6 +70,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
     "ivf_assign": lambda s, d: similarity.ivf_assign(_t(s, d, "embeddings")),
     "knn_cosine_ivf": lambda s, d: similarity.knn_cosine_ivf(_t(s, d, "embeddings")),
+    "knn_cosine_ivf_probe2": lambda s, d: similarity.knn_cosine_ivf_nprobe(
+        _t(s, d, "embeddings")
+    ),
     "embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
         _t(s, d, "embeddings")
     ),
@@ -259,6 +262,32 @@ ORACLES: dict[str, str] = {
               FROM ev WHERE vec_id % 50 = 0),
         scored AS (
           SELECT q.query_id, ev.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qv, ev.v), 6) AS cos
+          FROM ev JOIN q ON ev.cell_id = q.qcell AND ev.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
+    """,
+    "knn_cosine_ivf_probe2": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        ranked_cells AS (
+          SELECT e.vec_id, c.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                              c.cell_id ASC) AS rn
+          FROM e, c),
+        assign AS (SELECT vec_id, cell_id FROM ranked_cells WHERE rn = 1),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id)),
+        probes AS (SELECT vec_id, cell_id FROM ranked_cells
+                   WHERE rn <= 2 AND vec_id % 50 = 0),
+        q AS (SELECT p.vec_id AS query_id, p.cell_id AS qcell, e.v AS qv
+              FROM probes p JOIN e USING (vec_id)),
+        scored AS (
+          SELECT DISTINCT q.query_id, ev.vec_id AS neighbor_id,
                  round(list_cosine_similarity(q.qv, ev.v), 6) AS cos
           FROM ev JOIN q ON ev.cell_id = q.qcell AND ev.vec_id <> q.query_id),
         ranked AS (

@@ -38,6 +38,9 @@ BEST_PAIR_COL_IOU = 0.3
 # the merge retry loop pipline.py:713-723).
 BEAM_K = 10
 
-# Skew handling: documents with more media spans than this take the
-# span-exploded ("heavy") path in the extraction plan.
+# Skew handling: FLOOR for the span-exploded ("heavy") path's split
+# point. The default plan (extract(heavy_threshold='auto')) derives
+# the actual threshold from a cost model — max(this floor,
+# total_media / parallelism / 4) — and drops the heavy branch
+# entirely when no document qualifies.
 HEAVY_MEDIA_SPANS = 16

