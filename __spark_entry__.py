@@ -76,6 +76,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
         _t(s, d, "embeddings")
     ),
+    "ivf_recall": lambda s, d: similarity.ivf_recall(_t(s, d, "embeddings")),
     "media_catalog": lambda s, d: multimodal.media_catalog(
         multimodal.refs_from_doc_table(_t(s, d, "documents"))
     ),
@@ -270,6 +271,45 @@ ORACLES: dict[str, str] = {
                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
+    """,
+    "ivf_recall": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM e JOIN q ON e.vec_id <> q.query_id)
+          WHERE rank <= 10),
+        assign AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM e, c) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id)),
+        qq AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+               FROM ev WHERE vec_id % 50 = 0),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, ev.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qq.query_id
+                       ORDER BY round(list_cosine_similarity(qq.qv, ev.v), 6) DESC,
+                                ev.vec_id ASC) AS rank
+            FROM ev JOIN qq ON ev.cell_id = qq.qcell AND ev.vec_id <> qq.query_id)
+          WHERE rank <= 10),
+        hits AS (
+          SELECT b.query_id, count(a.neighbor_id) AS n_hit
+          FROM brute b LEFT JOIN approx a
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id)
+        SELECT count(*) AS n_queries,
+               round(CAST(sum(n_hit) AS double) / (count(*) * 10), 6) AS avg_recall
+        FROM hits
     """,
     "knn_cosine_ivf_probe2": """
         WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),

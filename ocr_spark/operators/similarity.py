@@ -192,3 +192,39 @@ def knn_cosine_ivf_nprobe(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    every: int = QUERY_EVERY,
+    k: int = 10,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """Recall@k of the IVF (nprobe=1) path against brute force — the
+    ANN quality dial an operator watches when tuning stride/nprobe.
+    One row: (n_queries, avg_recall). Exact arithmetic: recall is a
+    ratio of integer overlap counts, so engines cannot drift."""
+    brute = knn_cosine_topk(emb, every=every, k=k).select(
+        "query_id", F.col("neighbor_id").alias("nb")
+    )
+    approx = knn_cosine_ivf(emb, every=every, k=k, stride=stride).select(
+        "query_id", F.col("neighbor_id").alias("na")
+    )
+    overlap = (
+        brute.join(
+            approx,
+            (brute["query_id"] == approx["query_id"]) & (F.col("nb") == F.col("na")),
+        )
+        .groupBy(brute["query_id"])
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_query = (
+        brute.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("n_hit") / (F.count("*") * k), 6).alias("avg_recall"),
+    )
