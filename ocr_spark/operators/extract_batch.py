@@ -35,8 +35,13 @@ def clean_text_spans(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
     return cleaned, keep
 
 
-def extract_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, spans) -> exploded extracted spans."""
+def extract_doc_batch(
+    batches: Iterator[pd.DataFrame], weights: dict | None = None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, spans) -> exploded extracted spans.
+
+    ``weights``: broadcast model-weights dict (sources/weights.py),
+    fetched once per worker by the plan layer; None = defaults."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -69,13 +74,15 @@ def extract_doc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                         order += 1
                 else:
                     ref = flat.at[idx, "media_ref"]
-                    for text in extract_media_span(ref):
+                    for text in extract_media_span(ref, weights):
                         out_rows.append((did, order, "media", text, ref))
                         order += 1
         yield pd.DataFrame(out_rows, columns=OUT_COLUMNS)
 
 
-def extract_span_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def extract_span_batch(
+    batches: Iterator[pd.DataFrame], weights: dict | None = None
+) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel for exploded spans:
     (doc_id, kind, text, media_ref, offset) -> per-span sequences."""
     for pdf in batches:
@@ -97,12 +104,12 @@ def extract_span_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     out_rows.append((doc_id, offset, 0, "text", cleaned.at[idx], ""))
             else:
                 ref = pdf.at[idx, "media_ref"]
-                for seq, text in enumerate(extract_media_span(ref)):
+                for seq, text in enumerate(extract_media_span(ref, weights)):
                     out_rows.append((doc_id, offset, seq, "media", text, ref))
         yield pd.DataFrame(out_rows, columns=SPAN_OUT_COLUMNS)
 
 
-def extract_doc_batch_arrow(batches):
+def extract_doc_batch_arrow(batches, weights: dict | None = None):
     """mapInArrow kernel (Iterator[pa.RecordBatch] -> same): identical
     rows to ``extract_doc_batch``, but the spans list<struct> column is
     flattened with Arrow offsets instead of materializing a Python
@@ -162,7 +169,7 @@ def extract_doc_batch_arrow(batches):
                     order += 1
             else:
                 ref = media_ref[i]
-                for t in extract_media_span(ref):
+                for t in extract_media_span(ref, weights):
                     out_doc.append(doc_ids[r])
                     out_order.append(order)
                     out_kind.append("media")

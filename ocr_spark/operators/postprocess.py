@@ -45,13 +45,17 @@ from ocr_spark.sources.media import Page, box_probs, build_page
 _OPERATOR_CHARS = set("+-×÷=")
 
 
-def _recognize(page: Page, nodes: list[Node]) -> None:
+def _recognize(page: Page, nodes: list[Node], weights: dict | None = None) -> None:
     """Batch-recognize all nodes: pad probability matrices to the batch
-    max length and run the vectorized greedy decoder (the reference's
-    pad-to-max batch, utils.py:171-180 + one sess.run)."""
+    max length, apply the broadcast class projection (M7,
+    reference pipline.py:684-685), and run the vectorized greedy
+    decoder (the reference's pad-to-max batch, utils.py:171-180 + one
+    sess.run)."""
     if not nodes:
         return
-    mats = [box_probs(page, n.bbox) for n in nodes]
+    from ocr_spark.sources.weights import project_probs
+
+    mats = [project_probs(box_probs(page, n.bbox), weights) for n in nodes]
     lengths = np.array([m.shape[0] for m in mats], dtype=np.int64)
     t_max = int(lengths.max())
     batch = np.zeros((len(mats), t_max, mats[0].shape[1]), dtype=np.float64)
@@ -152,9 +156,13 @@ def splice_vertical(
             connect.append(v)
 
 
-def extract_media_span(media_ref: str) -> list[str]:
+def extract_media_span(media_ref: str, weights: dict | None = None) -> list[str]:
     """Full OCR chain for one media span: recipe -> detect -> layout ->
-    recognize -> route -> splice. Returns ordered span texts."""
+    recognize -> route -> splice. Returns ordered span texts.
+
+    ``weights`` is the broadcast model-weights dict
+    (sources/weights.py); None = module defaults (identical output —
+    the default projection is the identity on the 21-class alphabet)."""
     page = build_page(media_ref)
     boxes, classes = detect_page(page)
     if len(classes) == 0:
@@ -174,7 +182,7 @@ def extract_media_span(media_ref: str) -> list[str]:
         cpairs = column_pairs(all_nodes)
         forests = build_forests(cpairs, all_nodes)
 
-    _recognize(page, all_nodes)
+    _recognize(page, all_nodes, weights)
     connect, vertical, _fraction, _other = route_nodes(all_nodes)
     splice_vertical(vertical, forests, connect)
     return [f"{n.state}:{n.output}" for n in connect]

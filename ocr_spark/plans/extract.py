@@ -141,6 +141,19 @@ def extract(
     parallelism = spark.sparkContext.defaultParallelism
     buckets = buckets or parallelism * 2
 
+    # model weights: broadcast ONCE per job; each python worker fetches
+    # bc.value once and reuses it across Arrow batches (the reference's
+    # restore-checkpoint-once lifecycle, pipline.py:319-378)
+    from ocr_spark.sources.weights import default_weights  # noqa: PLC0415
+
+    bc = spark.sparkContext.broadcast(default_weights())
+
+    def _doc_kernel(batches):
+        return extract_doc_batch_arrow(batches, weights=bc.value)
+
+    def _span_kernel(batches):
+        return extract_span_batch(batches, weights=bc.value)
+
     docs = docs.withColumn("_n_media", media_span_count())
 
     if heavy_threshold == "auto":
@@ -161,7 +174,7 @@ def extract(
             light = light.repartition(
                 buckets, F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
             )
-        return light.mapInArrow(extract_doc_batch_arrow, schema=OUT_SCHEMA)
+        return light.mapInArrow(_doc_kernel, schema=OUT_SCHEMA)
 
     light = docs.where(F.col("_n_media") <= heavy_threshold).drop("_n_media")
     if salt:
@@ -170,7 +183,7 @@ def extract(
     # the kernel, skipping the per-span Python-dict materialization
     # that Arrow->pandas conversion would do (extract_doc_batch is the
     # pandas twin, kept for unit tests and as the reference semantics)
-    light = light.mapInArrow(extract_doc_batch_arrow, schema=OUT_SCHEMA)
+    light = light.mapInArrow(_doc_kernel, schema=OUT_SCHEMA)
 
     heavy_spans = (
         docs.where(F.col("_n_media") > heavy_threshold)
@@ -183,7 +196,7 @@ def extract(
             F.col("s.offset").alias("offset"),
         )
         .repartition(buckets, F.pmod(F.xxhash64("doc_id", "offset"), F.lit(buckets)))
-        .mapInPandas(extract_span_batch, schema=_SPAN_OUT_SCHEMA)
+        .mapInPandas(_span_kernel, schema=_SPAN_OUT_SCHEMA)
     )
     w = Window.partitionBy("doc_id").orderBy("offset", "seq")
     heavy = heavy_spans.select(

@@ -73,6 +73,17 @@ class SnapshotStore:
         with open(ptr) as f:
             return json.load(f)
 
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        """A specific snapshot from the log (None = current) — the
+        time-travel read surface (Iceberg: VERSION AS OF)."""
+        if snapshot_id is None:
+            return self.current_snapshot()
+        path = os.path.join(self.snap_dir, f"snap-{snapshot_id:06d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot {snapshot_id} at {self.root}")
+        with open(path) as f:
+            return json.load(f)
+
     def committed_buckets(self) -> set[int]:
         return set(self.current_snapshot()["committed_buckets"])
 
@@ -103,13 +114,16 @@ class SnapshotStore:
 
     # -- readers -----------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Snapshot-isolated read: only committed buckets are visible.
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: only buckets committed as of the
+        requested snapshot are visible (None = current; an older id =
+        time travel, provided the buckets written since were new ones —
+        exactly Iceberg's VERSION AS OF over append-style snapshots).
 
         The isin-filter on the partition column prunes uncommitted
         partition directories at the scan (PartitionFilters), so
         orphans from crashed attempts are never deserialized."""
-        committed = self.current_snapshot()["committed_buckets"]
+        committed = self.snapshot(snapshot_id)["committed_buckets"]
         if not committed:
             return spark.createDataFrame([], "doc_id string, order int, kind string, text string, media_ref string, bucket int")
         return spark.read.parquet(self.data_dir).where(F.col("bucket").isin(committed))

@@ -108,3 +108,35 @@ def test_arrow_kernel_matches_pandas_kernel():
     )
     out = list(extract_doc_batch_arrow(iter([nospans])))
     assert sum(len(x) for x in out) == 0
+
+
+def test_broadcast_weights_flow_into_recognition():
+    """The weights dict is a real input: the default (identity
+    projection) reproduces the frozen outputs, and a permuted
+    projection provably changes decoded text — the broadcast isn't
+    decorative."""
+    import numpy as np
+
+    from ocr_spark.operators.postprocess import extract_media_span
+    from ocr_spark.sources.corpus import doc_spans
+    from ocr_spark.sources.weights import default_weights
+
+    refs = [
+        s["media_ref"]
+        for i in range(40)
+        for s in doc_spans(f"doc-{i:08d}")
+        if s["kind"] == "media"
+    ]
+    w = default_weights()
+    assert all(
+        extract_media_span(r) == extract_media_span(r, w) for r in refs
+    )
+
+    perm = default_weights()
+    p = np.eye(len(perm["alphabet"]))
+    p[[0, 1]] = p[[1, 0]]  # swap classes '1' and '0'
+    perm["projection"] = p
+    changed = sum(
+        extract_media_span(r, perm) != extract_media_span(r, w) for r in refs
+    )
+    assert changed > 0

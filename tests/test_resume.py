@@ -75,6 +75,29 @@ def test_orphans_invisible_and_replaced(spark, docs, tmp_path_factory):
     assert _rows(store.read(spark)) == _rows(extract(docs))
 
 
+def test_time_travel_read(spark, docs, tmp_path_factory):
+    """Reading VERSION AS OF an earlier snapshot sees exactly the
+    buckets committed then — later commits are invisible."""
+    root = str(tmp_path_factory.mktemp("store"))
+    run_extract_job(spark, docs, root, n_buckets=N_BUCKETS, group_size=GROUP)
+    store = SnapshotStore(root)
+    snaps = store.current_snapshot()["snapshot_id"]
+    assert snaps == N_BUCKETS // GROUP
+
+    first = store.snapshot(1)
+    assert first["committed_buckets"] == list(range(GROUP))
+    early = store.read(spark, snapshot_id=1)
+    full = store.read(spark)
+    assert 0 < early.count() < full.count()
+    got_buckets = {r["bucket"] for r in early.select("bucket").distinct().collect()}
+    assert got_buckets <= set(first["committed_buckets"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.snapshot(99)
+
+
 def test_rerun_is_noop(spark, docs, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("store"))
     run_extract_job(spark, docs, root, n_buckets=N_BUCKETS, group_size=GROUP)
