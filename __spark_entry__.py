@@ -55,6 +55,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": lambda s, d: textstats.clean_documents(_t(s, d, "documents")),
     "cjk_boilerplate_filter": lambda s, d: textstats.cjk_filter_counts(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
+    "bpe_token_count": lambda s, d: textstats.bpe_token_counts(_t(s, d, "documents")),
+    "rolling_fingerprint": lambda s, d: textstats.rolling_fingerprints(
+        _t(s, d, "documents")
+    ),
     "quality_score": lambda s, d: textstats.quality_scores(_t(s, d, "documents")),
     "lang_id": lambda s, d: textstats.lang_id(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
@@ -136,6 +140,20 @@ ORACLES: dict[str, str] = {
     """,
     "token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+        FROM documents
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "rolling_fingerprint": """
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> md5(substr(text, CAST(i AS int), 8)))) AS rolling_fp
         FROM documents
     """,
     "quality_score": """

@@ -138,3 +138,33 @@ def arith_verdicts(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", label.alias("label"), arith_state_udf(label).alias("verdict")
     )
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting, BPE-ish: alongside the whitespace count, a
+    GPT-style pre-tokenizer regex (letter runs | digit runs | single
+    non-alphanumeric marks) counts the units a byte-pair encoder would
+    start from. Pure regexp_extract_all — stays in codegen; the
+    pattern uses only constructs that Java regex and RE2 interpret
+    identically so the oracle can replay it."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every ``window``-char
+    rolling substring, keep the minimum — robust to edits outside the
+    minimizing window, unlike the whole-text md5 (fingerprints()).
+    Expression-level sequence/transform; at 100 TB the same expression
+    with per-band minima feeds a fuzzy-dup band join."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {window - 1}, 1)), "
+        f"i -> md5(substr(text, i, {window})))"
+    )
+    return docs.select("doc_id", F.array_min(grams).alias("rolling_fp"))
