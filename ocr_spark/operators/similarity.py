@@ -64,13 +64,16 @@ def ivf_assign(emb: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
     cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    # argmax via map-side max_by aggregation instead of a sort window:
+    # the (vectors x codebook) relation never hits a full sort, and the
+    # partial agg combines inside the scan stage. Tie-break = lowest
+    # cell_id, encoded as max of (cos, -cell_id) — identical result to
+    # ORDER BY cos DESC, cell_id ASC.
     return (
         e.join(F.broadcast(cents))
         .select("vec_id", "cell_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
+        .groupBy("vec_id")
+        .agg(F.max_by("cell_id", F.struct(F.col("cos"), -F.col("cell_id"))).alias("cell_id"))
     )
 
 
