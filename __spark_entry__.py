@@ -70,6 +70,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
     "simhash_fingerprint": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+    "dup_clusters": lambda s, d: dedup.dup_clusters(_t(s, d, "documents")),
     "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
     "ivf_assign": lambda s, d: similarity.ivf_assign(_t(s, d, "embeddings")),
@@ -108,6 +109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "moving_avg": lambda s, d: pairing.moving_avg(_t(s, d, "events")),
     "unmatched_events": lambda s, d: pairing.unmatched_events(_t(s, d, "events")),
+    "value_percentiles": lambda s, d: pairing.value_percentiles(_t(s, d, "events")),
 }
 
 
@@ -255,6 +257,28 @@ ORACLES: dict[str, str] = {
                        / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
         FROM cand JOIN sh sa ON sa.doc_id = doc_a
                   JOIN sh sb ON sb.doc_id = doc_b
+    """,
+    "dup_clusters": """
+        WITH RECURSIVE sig AS (
+          SELECT doc_id,
+                 list_min(list_transform(generate_series(1, len(words) - 4),
+                          i -> md5(array_to_string(words[i:i+4], ' ')))) AS mh
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+          WHERE len(words) >= 5),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id)
+        SELECT doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY doc_id
     """,
     "ivf_assign": """
         WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
@@ -517,6 +541,13 @@ ORACLES: dict[str, str] = {
                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                      6) AS avg_recent
         FROM events
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+               round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+        FROM events GROUP BY event_type
     """,
     "unmatched_events": """
         WITH n AS (

@@ -122,3 +122,60 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+# -- duplicate clusters (connected components) -----------------------------
+
+
+def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate candidate graph:
+    every doc that shares a MinHash bucket with another gets a
+    cluster_id = the minimum doc_id reachable through candidate edges.
+
+    Distributed min-label propagation (the scalable CC algorithm for
+    graphs that don't fit one machine — unlike the intra-document
+    union-find in layout.build_forests, which never needs to leave one
+    kernel): each round joins labels across edges and keeps the
+    minimum; converges in <= graph-diameter rounds, checked with a
+    driver-side changed-count action per round. At 10^12 docs the same
+    loop runs over bucketed edge/label tables with AQE sizing each
+    round's shuffle. Returns (doc_id, cluster_id)."""
+    pairs = near_dup_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["label"], F.coalesce("nlabel", labels["label"])
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out

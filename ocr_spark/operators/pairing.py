@@ -131,3 +131,17 @@ def unmatched_events(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unmatched"))
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event type (A6-adjacent
+    distribution statistics). Exact `percentile` — one shuffle on the
+    5-value group key; at 100 TB swap in approx_percentile with a
+    t-digest accuracy budget (sketches merge map-side), which the
+    oracle can't replay bit-for-bit — the exact version is the
+    checked contract, the approx version the scale path."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
