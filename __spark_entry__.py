@@ -20,7 +20,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
-from ocr_spark.operators import dedup, multimodal, pairing, similarity, textstats, tpch
+from ocr_spark.operators import (
+    dedup,
+    evaluate,
+    multimodal,
+    pairing,
+    similarity,
+    textstats,
+    tpch,
+)
 from ocr_spark.plans.extract import corpus_df, extract
 
 
@@ -70,7 +78,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
     "simhash_fingerprint": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
+    "minhash_band_keys": lambda s, d: dedup.minhash_band_keys(_t(s, d, "documents")),
+    "minhash_banded_pairs": lambda s, d: dedup.minhash_banded_pairs(
+        _t(s, d, "documents")
+    ),
+    "minhash_banded_recall": lambda s, d: dedup.minhash_banded_recall(
+        _t(s, d, "documents")
+    ),
+    "simhash64": lambda s, d: dedup.simhash64(_t(s, d, "documents")),
+    "simhash_hamming_pairs": lambda s, d: dedup.simhash_hamming_pairs(
+        _t(s, d, "documents")
+    ),
     "dup_clusters": lambda s, d: dedup.dup_clusters(_t(s, d, "documents")),
+    "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
+        _t(s, d, "documents"),
+        max_iters=30,
+        pairs=dedup.minhash_banded_pairs(_t(s, d, "documents")),
+    ),
     "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
     "ivf_assign": lambda s, d: similarity.ivf_assign(_t(s, d, "embeddings")),
@@ -86,11 +110,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         multimodal.refs_from_doc_table(_t(s, d, "documents"))
     ),
     "ocr_media_decode_stats": lambda s, d: multimodal.decode_stats(
-        multimodal.refs_from_doc_table(_t(s, d, "documents"))
+        multimodal.corpus_style_refs(_t(s, d, "documents"))
     ),
     "ocr_media_frame_sample": lambda s, d: multimodal.sampled_frames(
-        multimodal.refs_from_doc_table(_t(s, d, "documents"))
+        multimodal.corpus_style_refs(_t(s, d, "documents"))
     ),
+    "eval_iou_pairs": lambda s, d: evaluate.eval_iou_pairs(_t(s, d, "documents")),
+    "eval_metrics": lambda s, d: evaluate.eval_metrics(_t(s, d, "documents")),
     "mutual_nearest_pair": lambda s, d: pairing.mutual_nearest_events(_t(s, d, "events")),
     "topk_per_group": lambda s, d: pairing.topk_per_type(_t(s, d, "events")),
     "value_band_join": lambda s, d: pairing.value_bands(_t(s, d, "events")),
@@ -110,6 +136,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg": lambda s, d: pairing.moving_avg(_t(s, d, "events")),
     "unmatched_events": lambda s, d: pairing.unmatched_events(_t(s, d, "events")),
     "value_percentiles": lambda s, d: pairing.value_percentiles(_t(s, d, "events")),
+    "approx_percentile_check": lambda s, d: pairing.value_percentiles_approx_check(
+        _t(s, d, "events")
+    ),
+    "approx_distinct_check": lambda s, d: textstats.distinct_token_check(
+        _t(s, d, "documents")
+    ),
 }
 
 
@@ -124,7 +156,210 @@ _CLEAN = (
     f"'{_SQL_MATCHING}', '{_SQL_REPLACE}')"
 )
 
+# -- DuckDB fragments for the banded-LSH oracles (mirror dedup.py's
+# Spark expressions token-for-token: same md5 inputs, same layouts) ---------
+
+def _dk_shingles(w: str) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({w}) - 4), "
+        f"i -> md5(array_to_string({w}[i:i+4], ' '))))"
+    )
+
+
+def _dk_sig(sh: str) -> str:
+    return (
+        f"list_transform(range(64), p -> list_min(list_transform({sh}, s -> "
+        f"CAST('0x' || substr(md5(s || '#' || CAST(p // 4 AS VARCHAR)), "
+        f"CAST((p % 4) * 8 + 1 AS INT), 8) AS BIGINT))))"
+    )
+
+
+def _dk_bands(sig: str) -> str:
+    return (
+        f"list_transform(range(16), j -> md5(CAST(j AS VARCHAR) || ',' || "
+        f"array_to_string(list_transform({sig}[j*4+1 : j*4+4], "
+        f"x -> CAST(x AS VARCHAR)), ',')))"
+    )
+
+
+_DK_BAND_KEYS_CTE = f"""
+        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ws AS (SELECT doc_id, w FROM w WHERE len(w) >= 5),
+        sh AS (SELECT doc_id, {_dk_shingles('w')} AS sh FROM ws),
+        sig AS (SELECT doc_id, {_dk_sig('sh')} AS sig FROM sh),
+        bk AS (SELECT doc_id, CAST(j AS INT) AS band,
+                      {_dk_bands('sig')}[CAST(j + 1 AS INT)] AS band_key
+               FROM sig, range(16) t(j))
+"""
+
+_DK_SIM64_CTE = """
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+        votes AS (SELECT doc_id, j,
+                         sum(CASE WHEN (((strpos('0123456789abcdef',
+                                  substr(md5(tok), CAST(j // 4 AS INT) + 1, 1))
+                                  - 1) >> CAST(j % 4 AS INT)) & 1) = 1
+                                  THEN 1 ELSE -1 END) AS c
+                  FROM tok, range(64) r(j) GROUP BY doc_id, j),
+        sim AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0 AND j // 16 = 0
+                                THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk0,
+                       CAST(sum(CASE WHEN c > 0 AND j // 16 = 1
+                                THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk1,
+                       CAST(sum(CASE WHEN c > 0 AND j // 16 = 2
+                                THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk2,
+                       CAST(sum(CASE WHEN c > 0 AND j // 16 = 3
+                                THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk3
+                FROM votes GROUP BY doc_id)
+"""
+
+# -- media payload/decode oracle fragments (mirror operators/multimodal.py) --
+
+# corpus-format ref derivation: little-endian uint64 of the first 8
+# sha256 digest bytes, mod 10^12 (verified == sources/corpus.py refs)
+_DK_SEED_TERMS = " + ".join(
+    f"CAST((strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+    f" + strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1 AS HUGEINT)"
+    f" * CAST('{256 ** i}' AS HUGEINT)"
+    for i in range(8)
+)
+
+_DK_CREFS_CTE = f"""
+        hh AS (SELECT sha256('ref' || chr(31) || 'doc-'
+                     || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     || chr(31) || '0') AS h
+               FROM documents),
+        refs AS (SELECT 'm-' || lpad(CAST(({_DK_SEED_TERMS})
+                     % CAST('1000000000000' AS HUGEINT) AS VARCHAR), 12, '0')
+                   AS media_ref
+                 FROM hh)
+"""
+
+# byte j (0-based) of md5-counter-mode payload block `bexpr` of a ref
+_DK_BLOCK_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(media_ref || ':' "
+    "|| CAST({b} AS VARCHAR)), CAST(2*j+1 AS INT), 1)) - 1) * 16 "
+    "+ strpos('0123456789abcdef', substr(md5(media_ref || ':' "
+    "|| CAST({b} AS VARCHAR)), CAST(2*j+2 AS INT), 1)) - 1)"
+)
+
+# -- EP2 evaluation oracle fragments (mirror operators/evaluate.py) ---------
+
+_DK_EVAL_CTE = """
+        g0 AS (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS bi FROM documents),
+        g1 AS (SELECT doc_id, CAST(bi AS INT) AS box_id,
+                      CAST(40 + bi * 220 AS INT) AS l,
+                      CAST(30 + (doc_id % 5) * 60 AS INT) AS t,
+                      CAST(doc_id % 50 + 2 AS INT) AS a,
+                      CAST(bi + 3 AS INT) AS b,
+                      CAST((doc_id + bi) % 3 AS INT) AS k,
+                      CASE WHEN (doc_id + bi) % 2 = 0 THEN 'right'
+                           ELSE 'error' END AS state
+               FROM g0),
+        g AS (SELECT doc_id, box_id, l, t, l + 180 AS r, t + 40 AS btm,
+                     ['=', '()', '...'][k + 1] AS classes,
+                     CASE WHEN k = 0 THEN a || '+' || b || '=' || (a + b)
+                          WHEN k = 1 THEN a || '+()=' || (a + b)
+                          ELSE a || '÷' || b || '=' || (a // b) || '*' || (a % b)
+                     END AS label,
+                     state
+              FROM g1),
+        p0 AS (SELECT doc_id, box_id AS pred_id, l, t, r, btm, classes, label,
+                      state, doc_id + box_id AS key
+               FROM g),
+        p AS (SELECT doc_id, pred_id,
+                     CAST(l + [0,10,20,160,6,14][CAST(key % 6 AS INT) + 1] AS INT) AS l,
+                     t,
+                     CAST(r + [0,10,20,160,6,14][CAST(key % 6 AS INT) + 1] AS INT) AS r,
+                     btm,
+                     CASE WHEN key % 4 = 1 THEN label || '9'
+                          WHEN key % 4 = 2 AND classes = '...'
+                            THEN replace(label, '*', '')
+                          ELSE label END AS output,
+                     CASE WHEN key % 5 = 1
+                            THEN (CASE WHEN state = 'right' THEN 'error'
+                                       ELSE 'right' END)
+                          ELSE state END AS pstate
+              FROM p0
+              UNION ALL
+              SELECT doc_id, 99, 700, 500, 800, 530, '7+7=14', 'right'
+              FROM documents WHERE doc_id % 7 = 0),
+        scored AS (
+          SELECT g.doc_id, g.box_id, p.pred_id,
+                 round(CAST(greatest(least(g.r, p.r) - greatest(g.l, p.l), 0)
+                          * greatest(least(g.btm, p.btm) - greatest(g.t, p.t), 0)
+                        AS DOUBLE)
+                       / ((g.r - g.l) * (g.btm - g.t)
+                          + (p.r - p.l) * (p.btm - p.t)
+                          - greatest(least(g.r, p.r) - greatest(g.l, p.l), 0)
+                            * greatest(least(g.btm, p.btm) - greatest(g.t, p.t), 0)),
+                       6) AS iou
+          FROM g JOIN p ON g.doc_id = p.doc_id),
+        best AS (
+          SELECT doc_id, box_id, pred_id, iou,
+                 row_number() OVER (PARTITION BY doc_id, box_id
+                                    ORDER BY iou DESC, pred_id ASC) AS rn
+          FROM scored),
+        pairs AS (
+          SELECT doc_id, box_id,
+                 CAST(CASE WHEN iou > 0.5 THEN pred_id ELSE -1 END AS INT)
+                   AS pair_id,
+                 iou
+          FROM best WHERE rn = 1)
+"""
+
 ORACLES: dict[str, str] = {
+    "eval_iou_pairs": f"""
+        WITH {_DK_EVAL_CTE}
+        SELECT doc_id, box_id, pair_id, iou FROM pairs
+    """,
+    "eval_metrics": f"""
+        WITH {_DK_EVAL_CTE},
+        m AS (SELECT pr.doc_id, pr.box_id, pr.pair_id,
+                     g.classes, g.label, g.state AS gstate, p.output, p.pstate
+              FROM pairs pr
+              JOIN g ON g.doc_id = pr.doc_id AND g.box_id = pr.box_id
+              LEFT JOIN p ON p.doc_id = pr.doc_id AND p.pred_id = pr.pair_id),
+        flags AS (SELECT *,
+                         pair_id != -1 AS matched,
+                         CASE WHEN classes = '...'
+                              THEN (label = output
+                                    OR replace(label, '*', '')
+                                       = replace(output, '*', ''))
+                              ELSE label = output END AS seq_right
+                  FROM m),
+        agg AS (SELECT count(*) AS n_boxes,
+                       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                       CAST(sum(CASE WHEN matched AND seq_right THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+                       CAST(sum(CASE WHEN matched AND classes = '=' THEN 1 ELSE 0 END) AS BIGINT) AS eq_all,
+                       CAST(sum(CASE WHEN matched AND classes = '=' AND seq_right THEN 1 ELSE 0 END) AS BIGINT) AS eq_right,
+                       CAST(sum(CASE WHEN matched AND classes = '()' THEN 1 ELSE 0 END) AS BIGINT) AS br_all,
+                       CAST(sum(CASE WHEN matched AND classes = '()' AND seq_right THEN 1 ELSE 0 END) AS BIGINT) AS br_right,
+                       CAST(sum(CASE WHEN matched AND classes = '...' THEN 1 ELSE 0 END) AS BIGINT) AS re_all,
+                       CAST(sum(CASE WHEN matched AND classes = '...' AND seq_right THEN 1 ELSE 0 END) AS BIGINT) AS re_right,
+                       CAST(sum(CASE WHEN matched AND gstate = pstate THEN 1 ELSE 0 END) AS BIGINT) AS state_right,
+                       sum(CASE WHEN matched
+                                THEN CAST(round(CAST(levenshtein(label, output) AS DOUBLE)
+                                                / length(label), 6) AS DECIMAL(18,6))
+                                ELSE CAST(0 AS DECIMAL(18,6)) END) AS lev_sum
+                FROM flags)
+        SELECT n_boxes, n_matched,
+               CASE WHEN n_matched = 0 THEN 0.0
+                    ELSE round(CAST(n_right AS DOUBLE) / n_matched, 6) END AS seq_acc,
+               CASE WHEN eq_all = 0 THEN 0.0
+                    ELSE round(CAST(eq_right AS DOUBLE) / eq_all, 6) END AS equation_acc,
+               CASE WHEN br_all = 0 THEN 0.0
+                    ELSE round(CAST(br_right AS DOUBLE) / br_all, 6) END AS bracket_acc,
+               CASE WHEN re_all = 0 THEN 0.0
+                    ELSE round(CAST(re_right AS DOUBLE) / re_all, 6) END AS residual_acc,
+               CASE WHEN n_matched = 0 THEN 0.0
+                    ELSE round(CAST(state_right AS DOUBLE) / n_matched, 6) END AS state_acc,
+               CASE WHEN n_matched = 0 THEN 0.0
+                    ELSE round(CAST(CAST(n_matched AS DECIMAL(18,6)) - lev_sum AS DOUBLE)
+                               / n_matched, 6) END AS char_acc,
+               round(CAST(n_matched AS DOUBLE) / n_boxes, 6) AS recall
+        FROM agg
+    """,
     "clean_text": f"""
         SELECT doc_id,
                CASE WHEN len(string_split(c, '=')) > 2
@@ -148,7 +383,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,
                len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS n_bpe_tokens
         FROM documents
     """,
     "rolling_fingerprint": """
@@ -241,6 +476,94 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN 1 << j ELSE 0 END) AS bigint)
                  AS simhash
         FROM s GROUP BY doc_id
+    """,
+    "minhash_band_keys": f"""
+        WITH {_DK_BAND_KEYS_CTE}
+        SELECT doc_id, band, band_key FROM bk
+    """,
+    "minhash_banded_pairs": f"""
+        WITH {_DK_BAND_KEYS_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS INT) AS n_bands
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    "minhash_banded_recall": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents
+                   WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 25),
+        p AS (SELECT doc_id, w, CAST(pct AS INT) AS pct
+              FROM d, unnest([40, 55, 70, 78, 82, 86, 90, 94, 98]) t(pct)),
+        v AS (SELECT doc_id, w,
+                     w[1:greatest(CAST(floor(len(w) * pct / 100) AS INT), 5)] AS wv
+              FROM p),
+        sh2 AS (SELECT doc_id, {_dk_shingles('w')} AS sh_o,
+                       {_dk_shingles('wv')} AS sh_v
+                FROM v),
+        sig2 AS (SELECT doc_id, sh_o, sh_v, {_dk_sig('sh_o')} AS sig_o,
+                        {_dk_sig('sh_v')} AS sig_v
+                 FROM sh2),
+        bk2 AS (SELECT doc_id, sh_o, sh_v, {_dk_bands('sig_o')} AS bk_o,
+                       {_dk_bands('sig_v')} AS bk_v
+                FROM sig2),
+        j AS (SELECT round(CAST(len(list_intersect(sh_o, sh_v)) AS DOUBLE)
+                           / len(list_distinct(sh_o || sh_v)), 6) AS j,
+                     len(list_intersect(bk_o, bk_v)) > 0 AS caught
+              FROM bk2)
+        SELECT CAST(floor(j * 10) AS INT) AS j_bucket,
+               count(*) AS n_pairs,
+               CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+               round(CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS recall
+        FROM j GROUP BY 1
+    """,
+    "simhash64": f"""
+        WITH {_DK_SIM64_CTE}
+        SELECT doc_id, 0 AS band, chunk0 AS chunk FROM sim
+        UNION ALL SELECT doc_id, 1, chunk1 FROM sim
+        UNION ALL SELECT doc_id, 2, chunk2 FROM sim
+        UNION ALL SELECT doc_id, 3, chunk3 FROM sim
+    """,
+    "simhash_hamming_pairs": f"""
+        WITH {_DK_SIM64_CTE},
+        long AS (
+          SELECT doc_id, 0 AS band, chunk0 AS chunk, chunk0, chunk1, chunk2, chunk3 FROM sim
+          UNION ALL
+          SELECT doc_id, 1, chunk1, chunk0, chunk1, chunk2, chunk3 FROM sim
+          UNION ALL
+          SELECT doc_id, 2, chunk2, chunk0, chunk1, chunk2, chunk3 FROM sim
+          UNION ALL
+          SELECT doc_id, 3, chunk3, chunk0, chunk1, chunk2, chunk3 FROM sim)
+        SELECT DISTINCT doc_a, doc_b, hamming FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.chunk0, b.chunk0))
+                    + bit_count(xor(a.chunk1, b.chunk1))
+                    + bit_count(xor(a.chunk2, b.chunk2))
+                    + bit_count(xor(a.chunk3, b.chunk3)) AS INT) AS hamming
+          FROM long a JOIN long b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        WHERE hamming <= 3
+    """,
+    "dup_clusters_banded": f"""
+        WITH RECURSIVE {_DK_BAND_KEYS_CTE},
+        cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a, doc_b FROM cpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM cpairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id)
+        SELECT doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY doc_id
     """,
     "ngram_jaccard_pairs": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -439,6 +762,44 @@ ORACLES: dict[str, str] = {
                  AS n_bytes
         FROM n
     """,
+    "ocr_media_decode_stats": f"""
+        WITH {_DK_CREFS_CTE},
+        px AS (SELECT media_ref,
+                      flatten(list_transform(range(4), b ->
+                        list_transform(range(16), j ->
+                          {_DK_BLOCK_BYTE.format(b="b")}))) AS px
+               FROM refs),
+        s AS (SELECT media_ref, list_sum(px) AS s,
+                     list_sum(list_transform(px, x -> x * x)) AS ssq
+              FROM px)
+        SELECT media_ref, 8 AS height, 8 AS width,
+               round(CAST(s AS DOUBLE) / 64, 6) AS mean_px,
+               round(sqrt(CAST(ssq AS DOUBLE) / 64
+                          - (CAST(s AS DOUBLE) / 64) * (CAST(s AS DOUBLE) / 64)),
+                     6) AS std_px
+        FROM s
+    """,
+    "ocr_media_frame_sample": f"""
+        WITH {_DK_CREFS_CTE},
+        meta AS (SELECT media_ref, md5(media_ref) AS ch FROM refs),
+        vids AS (SELECT media_ref,
+                        CAST(1 + ((strpos('0123456789abcdef', substr(ch, 9, 1)) - 1) * 16
+                             + strpos('0123456789abcdef', substr(ch, 10, 1)) - 1) % 30
+                          AS INT) AS n_frames
+                 FROM meta
+                 WHERE ((strpos('0123456789abcdef', substr(ch, 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(ch, 2, 1)) - 1) % 3 = 2),
+        fr AS (SELECT media_ref, CAST(unnest(range(0, n_frames, 5)) AS INT) AS fi
+               FROM vids),
+        fb AS (SELECT media_ref, fi,
+                      list_sum(flatten(list_transform(range(4), b ->
+                        list_transform(range(16), j ->
+                          {_DK_BLOCK_BYTE.format(b="4 * (fi % 63) + b")})))) AS s
+               FROM fr)
+        SELECT media_ref, fi AS frame_idx,
+               round(CAST(s AS DOUBLE) / 64, 6) AS frame_mean
+        FROM fb
+    """,
     "mutual_nearest_pair": """
         WITH n AS (
           SELECT event_type, event_id,
@@ -548,6 +909,19 @@ ORACLES: dict[str, str] = {
                round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
                round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
         FROM events GROUP BY event_type
+    """,
+    "approx_percentile_check": """
+        SELECT event_type,
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+               round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99,
+               TRUE AS within_budget
+        FROM events GROUP BY event_type
+    """,
+    "approx_distinct_check": """
+        SELECT count(DISTINCT tok) AS n_exact, TRUE AS within_budget
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
     """,
     "unmatched_events": """
         WITH n AS (

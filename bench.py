@@ -26,7 +26,9 @@ DEFAULT_QUERIES = [
     "clean_text",
     "arith_verdict_udf",
     "minhash_signature",
-    "simhash_fingerprint",
+    "minhash_banded_pairs",
+    "simhash_hamming_pairs",
+    "eval_metrics",
     "knn_cosine_topk",
     "knn_cosine_ivf",
     "media_catalog",

@@ -64,13 +64,14 @@ def main() -> None:
     )
     store = SnapshotStore(args.output)
     metrics = store.read_metrics(spark)
-    n_docs = sum(r["n_docs"] for r in snap["lineage"])
-    wall = sum(r["wall_s"] for r in snap["lineage"]) or 1e-9
+    lineage = store.lineage()
+    n_docs = sum(r["n_docs"] for r in lineage)
+    wall = sum(r["wall_s"] for r in lineage) or 1e-9
     print(json.dumps({
         "snapshot_id": snap["snapshot_id"],
         "committed_buckets": len(snap["committed_buckets"]),
         "n_docs": n_docs,
-        "n_spans": sum(r["n_spans"] for r in snap["lineage"]),
+        "n_spans": sum(r["n_spans"] for r in lineage),
         "docs_per_sec_serial_sum": round(n_docs / wall, 2),
     }))
     metrics.orderBy("bucket").show(20, truncate=False)

@@ -40,7 +40,9 @@ BEAM_K = 10
 
 # Skew handling: FLOOR for the span-exploded ("heavy") path's split
 # point. The default plan (extract(heavy_threshold='auto')) derives
-# the actual threshold from a cost model — max(this floor,
-# total_media / parallelism / 4) — and drops the heavy branch
-# entirely when no document qualifies.
+# the actual threshold from a scale-invariant outlier rule —
+# max(this floor, HEAVY_SKEW_RATIO * mean media spans per doc) — and
+# drops the heavy branch entirely when no document can qualify.
 HEAVY_MEDIA_SPANS = 16
+HEAVY_SKEW_RATIO = 8       # a doc is "heavy" at 8x the mean media cost
+HEAVY_SAMPLE_DOCS = 4096   # docs read by the sampled-stats estimate

@@ -138,8 +138,11 @@ class _Parser:
             if tok.count(".") > 1:
                 raise _ExprError("bad float")
             return float(tok)
-        # Python 3 int literals: no leading zeros on multi-digit ints
-        if len(tok) > 1 and tok[0] == "0":
+        # Python 3 int literals: no leading zeros on multi-digit ints —
+        # EXCEPT all-zero literals ('00', '000' are legal zeros), which
+        # real decodes do produce (e.g. '10' misread as '00'); the
+        # reference's eval() accepts them (evaluate via utils.py:73-107)
+        if len(tok) > 1 and tok[0] == "0" and set(tok) != {"0"}:
             raise _ExprError("leading zero int")
         return int(tok)
 

@@ -1,0 +1,311 @@
+"""Real recognition compute: a deterministic numpy CRNN stand-in for
+the reference's conv-stack + BiLSTM recognizer (model.py:93-218).
+
+Round 1 fabricated CTC probability matrices directly from the gold
+label ("recipe-seeded logits", SURVEY §2.9 allowance). This module
+replaces that with an actual forward pass over actually-rendered
+pixels, so the heavy-UDF surface costs what real inference costs and
+the skew/cost-model numbers are measured, not extrapolated:
+
+- ``render_label``: glyph-bitmap renderer — the pixel source for a
+  crop (the sandbox twin of "decode the image bytes"; the reference's
+  synthetic data is likewise rendered from recipes, mnist_to_num.py).
+  Deterministic per (label, seed): seeded amplitude/offset jitter and
+  background noise.
+- conv stack (weights broadcast via sources/weights.py): two 3x3
+  valid convolutions with ReLU and (2,2)/(2,1) max-pools — the width
+  arithmetic reproduces the reference's width-dependent
+  sequence_length = floor((w-2)/2) - 2 (model.py:176-183, its
+  stride-[2,1] pooling plan), clamped >= 1.
+- recurrence: a residual bidirectional tanh recurrence with a
+  diagonal (LRU-style) gate, h_t = tanh(x_t + d ⊙ h_{t-1}), over
+  timestep features — the BiLSTM's sequential dependency with real
+  per-step state propagation.
+- classifier: a context-stacked linear head fit in closed form (ridge
+  regression to one-hot frame labels over jittered glyph renders
+  pushed through the SAME conv+recurrence stack) at
+  weight-construction time; softmax with a fixed gain yields per-frame
+  class probabilities. Inter-glyph gap frames are trained to the CTC
+  blank, which is what makes greedy collapse recover repeated
+  characters.
+
+Everything is a pure function of (label, seed, weights): fixtures are
+regenerated from this compute and the decode oracle replays it
+identically.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ocr_spark.config import ALPHABET, BLANK_ID, N_CLASSES
+
+# -- glyph font (7x5 bitmaps, our own design) -------------------------------
+
+_G = {
+    "0": ".###.|#...#|#...#|#...#|#...#|#...#|.###.",
+    "1": "..#..|.##..|..#..|..#..|..#..|..#..|.###.",
+    "2": ".###.|#...#|....#|...#.|..#..|.#...|#####",
+    "3": "####.|....#|...#.|..##.|....#|....#|####.",
+    "4": "...#.|..##.|.#.#.|#..#.|#####|...#.|...#.",
+    "5": "#####|#....|####.|....#|....#|#...#|.###.",
+    "6": ".###.|#....|#....|####.|#...#|#...#|.###.",
+    "7": "#####|....#|...#.|..#..|..#..|.#...|.#...",
+    "8": ".###.|#...#|#...#|.###.|#...#|#...#|.###.",
+    "9": ".###.|#...#|#...#|.####|...#.|..#..|.#...",
+    "-": ".....|.....|.....|#####|.....|.....|.....",
+    "=": ".....|#####|.....|.....|.....|#####|.....",
+    "+": ".....|..#..|..#..|#####|..#..|..#..|.....",
+    "×": ".....|#...#|.#.#.|..#..|.#.#.|#...#|.....",
+    "÷": ".....|.##..|.....|#####|.....|..##.|.....",
+    "(": "...#.|..#..|.#...|.#...|.#...|..#..|...#.",
+    ")": ".#...|..#..|...#.|...#.|...#.|..#..|.#...",
+    "*": ".....|#.#.#|.###.|#####|.###.|#.#.#|.....",
+    "@": ".###.|#...#|#.###|#.#.#|#.##.|#....|.####",
+    "~": ".....|.....|.#..#|#.#.#|#..#.|.....|.....",
+    " ": ".....|.....|.....|.....|.....|.....|.....",
+}
+
+_SCALE = 4          # 7x5 bitmap -> 28x20 pixels
+GLYPH_H, GLYPH_W = 7 * _SCALE, 5 * _SCALE
+CELL_W = GLYPH_W + 8          # 8px inter-glyph gap (wider than the
+                              # conv receptive span -> pure-blank frames)
+IMG_H = GLYPH_H + 4           # 2px top/bottom margin
+_MARGIN = 4                   # canvas side margins
+
+
+@lru_cache(maxsize=1)
+def _glyph_bitmaps() -> np.ndarray:
+    """[N_CLASSES, GLYPH_H, GLYPH_W] float bitmaps, class-id indexed."""
+    out = np.zeros((N_CLASSES, GLYPH_H, GLYPH_W), dtype=np.float64)
+    for cid, ch in enumerate(ALPHABET):
+        rows = _G[ch].split("|")
+        small = np.array(
+            [[1.0 if c == "#" else 0.0 for c in row] for row in rows]
+        )
+        out[cid] = np.kron(small, np.ones((_SCALE, _SCALE)))
+    return out
+
+
+def render_label(label: str, seed: int) -> np.ndarray:
+    """label -> [IMG_H, W] grayscale image, W = CELL_W*len + margins.
+    Seeded jitter: per-char amplitude 0.85-1.0, +-1px placement offset;
+    background noise U(0, 0.06)."""
+    rng = np.random.default_rng(seed)
+    n = len(label)
+    width = CELL_W * n + 2 * _MARGIN
+    img = rng.uniform(0.0, 0.06, size=(IMG_H, width))
+    bitmaps = _glyph_bitmaps()
+    ids = [ALPHABET.index(c) for c in label]
+    for i, cid in enumerate(ids):
+        amp = rng.uniform(0.85, 1.0)
+        dy = int(rng.integers(-1, 2))
+        dx = int(rng.integers(-1, 2))
+        y0 = 2 + dy
+        x0 = _MARGIN + CELL_W * i + dx
+        img[y0 : y0 + GLYPH_H, x0 : x0 + GLYPH_W] += amp * bitmaps[cid]
+    return np.clip(img, 0.0, 1.0)
+
+
+# -- conv stack -------------------------------------------------------------
+
+
+def _conv2d_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """x [Cin, H, W], k [Cout, Cin, 3, 3] -> [Cout, H-2, W-2] via
+    im2col + one BLAS matmul (the fast path: this is where the
+    compute budget goes, as in the real model)."""
+    cin, h, w = x.shape
+    cout = k.shape[0]
+    windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(1, 2))
+    # windows: [Cin, H-2, W-2, 3, 3] -> [(H-2)*(W-2), Cin*9]
+    cols = windows.transpose(1, 2, 0, 3, 4).reshape((h - 2) * (w - 2), cin * 9)
+    out = cols @ k.reshape(cout, cin * 9).T  # [(H-2)(W-2), Cout]
+    return out.T.reshape(cout, h - 2, w - 2)
+
+
+def _maxpool(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    c, h, w = x.shape
+    h2, w2 = h // ph, w // pw
+    return x[:, : h2 * ph, : w2 * pw].reshape(c, h2, ph, w2, pw).max(axis=(2, 4))
+
+
+def sequence_length(width: int) -> int:
+    """The reference's width-dependent CTC length (model.py:176-183):
+    floor((w-2)/2) - 2, clamped to >= 1."""
+    return max((width - 2) // 2 - 2, 1)
+
+
+def char_frame_range(pos: int, t_total: int) -> tuple[int, int]:
+    """Output-frame span whose receptive field sits on character cell
+    ``pos`` (used by the deterministic corruption injector)."""
+    x0 = _MARGIN + CELL_W * pos + 3
+    x1 = _MARGIN + CELL_W * pos + GLYPH_W - 3
+    t0 = max((x0 - 3) // 2, 0)
+    t1 = min((x1 - 3) // 2, t_total - 1)
+    return t0, t1
+
+
+def conv_features(img: np.ndarray, weights: dict) -> np.ndarray:
+    """[H, W] image -> [T, D] timestep features,
+    T = sequence_length(W)."""
+    x = img[None, :, :]
+    x = np.maximum(_conv2d_valid(x, weights["conv1"]), 0.0)
+    x = _maxpool(x, 2, 2)
+    x = np.maximum(_conv2d_valid(x, weights["conv2"]), 0.0)
+    x = _maxpool(x, 2, 1)
+    c, h, t = x.shape
+    feats = x.reshape(c * h, t).T  # [T, D]
+    want = sequence_length(img.shape[1])
+    return feats[:want] if len(feats) >= want else np.pad(
+        feats, ((0, want - len(feats)), (0, 0))
+    )
+
+
+def recurrent_mix(feats: np.ndarray, wh: np.ndarray, alpha: float = 0.25) -> np.ndarray:
+    """Residual bidirectional tanh recurrence with a DIAGONAL
+    recurrent gate (LRU/minimal-RNN style): h_t = tanh(x_t + d ⊙
+    h_{t-1}). Still a real sequential dependency driven by broadcast
+    per-feature decay weights, but each step is O(D) elementwise
+    instead of an O(D^2) matvec — the dense-matrix variant made the
+    recurrence 80% of the whole forward pass for no accuracy gain
+    (profiled: 47 ms -> ~4 ms per label), leaving the conv matmuls as
+    the dominant (and representative) compute."""
+    t, d = feats.shape
+    out = np.empty((2, t, d))
+    h = np.zeros(d)
+    for i in range(t):
+        h = np.tanh(feats[i] + wh * h)
+        out[0, i] = h
+    h = np.zeros(d)
+    for i in range(t - 1, -1, -1):
+        h = np.tanh(feats[i] + wh * h)
+        out[1, i] = h
+    return feats + alpha * (out[0] + out[1])
+
+
+_CTX = 4  # classifier sees +-4 neighboring frames (~a full glyph width)
+
+
+def stack_context(feats: np.ndarray, r: int = _CTX) -> np.ndarray:
+    """[T, D] -> [T, (2r+1)*D]: each frame concatenated with its r
+    neighbors on each side (zero-padded at the ends) — the temporal
+    receptive field a real CRNN's sequence head has, which is what
+    separates glyphs whose single-frame slices are ambiguous."""
+    t, d = feats.shape
+    padded = np.concatenate(
+        [np.zeros((r, d)), feats, np.zeros((r, d))], axis=0
+    )
+    return np.concatenate([padded[i : i + t] for i in range(2 * r + 1)], axis=1)
+
+
+def class_probs(feats: np.ndarray, weights: dict) -> np.ndarray:
+    """[T, D] features -> [T, N_CLASSES] softmax probabilities through
+    the context-stacked linear classifier head (bias folded in as an
+    augmented all-ones feature)."""
+    ctx = stack_context(feats)
+    aug = np.concatenate([ctx, np.ones((len(ctx), 1))], axis=1)
+    logits = weights["gain"] * (aug @ weights["cls_w"])
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    p = e / e.sum(axis=1, keepdims=True)
+    # quantize: BLAS matmul summation order differs between driver and
+    # pinned executor threads by ~1e-15 relative — enough to flip a
+    # near-tied beam ordering. 10-decimal rounding is 5 orders above
+    # the noise floor and far below any decision margin, so decode is
+    # bit-identical wherever the forward pass runs.
+    return np.round(p, 10)
+
+
+def forward_probs(img: np.ndarray, weights: dict) -> np.ndarray:
+    """Full forward pass: image -> conv stack -> recurrence ->
+    prototype classifier -> [T, N_CLASSES] CTC probabilities."""
+    feats = recurrent_mix(conv_features(img, weights), weights["wh"])
+    return class_probs(feats, weights)
+
+
+# -- weight construction (broadcast payload) --------------------------------
+
+_WEIGHTS_SEED = 20260817
+
+
+@lru_cache(maxsize=1)
+def build_conv_weights() -> dict:
+    """Deterministic non-identity model weights. conv1/conv2 are
+    seeded gaussians, wh is the seeded per-feature recurrent decay;
+    the classifier head is fit in closed form
+    (ridge regression to one-hot targets) over jittered single-glyph
+    renders passed through the SAME conv+recurrence stack — i.e. a
+    training-free-at-runtime linear head whose every input genuinely
+    flows through every parameter. Frame labels come from a
+    self-calibrating norm rule: high-energy frames of a glyph render
+    carry the glyph's class, low-energy frames (gaps, margins,
+    background) carry the CTC blank — which is exactly what makes the
+    decode emit blank between characters."""
+    rng = np.random.default_rng(_WEIGHTS_SEED)
+    conv1 = rng.normal(0.0, 0.35, size=(8, 1, 3, 3))
+    conv2 = rng.normal(0.0, 0.18, size=(16, 8, 3, 3))
+    d = 16 * (((IMG_H - 2) // 2 - 2) // 2)  # channels x pooled height
+    # per-feature recurrent decay in [0.15, 0.45]: stable (|d| < 1)
+    wh = rng.uniform(0.15, 0.45, size=d)
+    w = {"conv1": conv1, "conv2": conv2, "wh": wh, "gain": 6.0}
+
+    # receptive-field calibration: where do a glyph's high-energy
+    # frames sit relative to its cell? (offset = glyph center col
+    # minus 2x the mean high-energy frame index)
+    cal = render_label("8", seed=_WEIGHTS_SEED)
+    cal_feats = recurrent_mix(conv_features(cal, w), wh)
+    cal_norms = np.linalg.norm(cal_feats, axis=1)
+    hot = np.flatnonzero(cal_norms >= 0.6 * cal_norms.max())
+    center_col = _MARGIN + GLYPH_W / 2
+    x_off = center_col - 2.0 * hot.mean()
+
+    def _harvest(label: str, seed: int, rows: list, labs: list) -> None:
+        img = render_label(label, seed=seed)
+        feats = recurrent_mix(conv_features(img, w), wh)
+        ctx = stack_context(feats)
+        norms = np.linalg.norm(feats, axis=1)
+        top = max(norms.max(), 1e-6)
+        ids = [ALPHABET.index(c) for c in label]
+        for t, (f, nn) in enumerate(zip(ctx, norms)):
+            x = 2.0 * t + x_off  # receptive-field center column
+            cell = int((x - _MARGIN) // CELL_W)
+            in_glyph = (
+                0 <= cell < len(ids)
+                and 3 <= (x - _MARGIN - cell * CELL_W) <= GLYPH_W - 5
+            )
+            if in_glyph and nn >= 0.2 * top and ids[cell] != BLANK_ID:
+                rows.append(f)
+                labs.append(ids[cell])
+            else:
+                # margins, gaps, boundary-straddling and low-energy
+                # frames all teach the blank: transitions decode clean
+                rows.append(f)
+                labs.append(BLANK_ID)
+
+    feats_rows: list[np.ndarray] = []
+    labels: list[int] = []
+    for cid in range(N_CLASSES):
+        for s in range(10):
+            _harvest(ALPHABET[cid], _WEIGHTS_SEED + cid * 131 + s, feats_rows, labels)
+    # multi-glyph contexts: the recurrence carries cross-cell state and
+    # the context stack spans cell boundaries, so the classifier must
+    # see glyphs with real neighbors
+    ctx_rng = np.random.default_rng(_WEIGHTS_SEED + 999)
+    glyph_ids = [i for i in range(N_CLASSES) if i != BLANK_ID]
+    for s in range(240):
+        lab = "".join(
+            ALPHABET[i] for i in ctx_rng.choice(glyph_ids, size=4)
+        )
+        _harvest(lab, _WEIGHTS_SEED + 7000 + s, feats_rows, labels)
+    f_mat = np.asarray(feats_rows)
+    aug = np.concatenate([f_mat, np.ones((len(f_mat), 1))], axis=1)
+    y = np.zeros((len(f_mat), N_CLASSES))
+    y[np.arange(len(f_mat)), labels] = 1.0
+    lam = 1e-3
+    cls_w = np.linalg.solve(
+        aug.T @ aug + lam * np.eye(aug.shape[1]), aug.T @ y
+    )
+    w["cls_w"] = cls_w
+    return w

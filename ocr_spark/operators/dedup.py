@@ -2,11 +2,20 @@
 
 - exact dedup: hash-groupBy on a content fingerprint — one shuffle on
   the md5 key, partial aggregation map-side.
-- MinHash signatures: word 5-gram shingles -> md5 -> min. All
-  expression-level (sequence/transform/slice), no UDF, so the scan
-  stays inside whole-stage codegen. At 100 TB the follow-up
-  band-bucket self-join shuffles only (band, signature) pairs, never
-  document text.
+- MinHash: two tiers. The 1-perm demo (``minhash_signatures`` /
+  ``near_dup_pairs``) kept for its locked oracle, and the
+  production-shaped banded LSH family (``minhash_band_keys`` /
+  ``minhash_banded_pairs`` / ``minhash_banded_recall``): n=64
+  permutations banded b=16 x r=4, so a pair with Jaccard J collides on
+  >= 1 band with probability 1-(1-J^4)^16 (~0.65 at J=0.5, >0.999 at
+  J=0.8). All expression-level (sequence/transform/aggregate), no UDF,
+  so the scan stays inside whole-stage codegen. The follow-up
+  band-bucket self-join shuffles only (band, key) pairs — 16 rows of
+  ~50 bytes per document — never document text.
+- SimHash: 16-bit demo (locked oracle) plus the production 64-bit
+  fingerprint stored as 4 x 16-bit band chunks; the banded Hamming
+  join (``simhash_hamming_pairs``) guarantees by pigeonhole that any
+  pair within Hamming distance 3 shares at least one of the 4 bands.
 """
 
 from __future__ import annotations
@@ -86,6 +95,272 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- 64-bit SimHash + banded Hamming join (production shape) ---------------
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4  # 4 x 16-bit chunks; Hamming <= 3 => >= 1 band equal
+
+
+def _sim64_chunks_sql() -> str:
+    """One aggregate pass over the tokens -> array of 4 x 16-bit chunk
+    values of the 64-bit Charikar SimHash. Bit j is bit (j%4) of hex
+    nibble (j div 4) of md5(token) — 64 independent bits from the
+    first 16 hex chars. Same HOF hygiene as _band_keys_sql: md5(token)
+    is let-bound (computed once per token, not once per bit) and the
+    chunk packing happens in the finish lambda over the BOUND counter
+    array."""
+    votes = (
+        f"transform(sequence(0, {SIMHASH64_BITS - 1}), j -> "
+        f"CASE WHEN (shiftright(instr('0123456789abcdef', "
+        f"substr(h, (j div 4) + 1, 1)) - 1, j % 4) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    return (
+        f"aggregate(split(text, ' '), array_repeat(0, {SIMHASH64_BITS}), "
+        f"(acc, t) -> aggregate(array(md5(t)), acc, "
+        f"(a2, h) -> zip_with(a2, {votes}, (a, c) -> a + c)), "
+        f"acc -> transform(sequence(0, {SIMHASH64_BANDS - 1}), k -> "
+        f"cast(aggregate(sequence(0, 15), 0, (a, j) -> a + "
+        f"CASE WHEN element_at(acc, k * 16 + j + 1) > 0 "
+        f"THEN shiftleft(1, j) ELSE 0 END) as bigint)))"
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit Charikar SimHash in band-long form
+    (doc_id, band, chunk): 4 rows per doc, one 16-bit chunk each —
+    entirely expression-level. The long form IS the banded-join
+    shuffle layout (and sidesteps signed 64-bit overflow in both
+    engines: every chunk is in [0, 65535])."""
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(_sim64_chunks_sql())).alias("band", "chunk")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "chunk")
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``max_hamming`` of
+    the 64-bit SimHash, found WITHOUT an all-pairs scan: by pigeonhole,
+    distance <= 3 over 4 bands means at least one 16-bit band is
+    identical, so candidates come from 4 equi-join buckets on
+    (band, chunk) — the shuffle carries 4 small rows per doc — and only
+    candidates get the exact popcount, computed entirely in the
+    band-long layout (re-join per band + sum of per-chunk popcounts),
+    so the fingerprint expression is evaluated exactly once per doc.
+    Returns (doc_a, doc_b, hamming)."""
+    sim = simhash64(docs)
+    a, b = sim.alias("a"), sim.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ca = sim.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("chunk").alias("chunk_a")
+    )
+    cb = sim.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("chunk").alias("chunk_b")
+    )
+    return (
+        cand.join(ca, "doc_a")
+        .join(cb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("chunk_a").bitwiseXOR(F.col("chunk_b"))))
+            .cast("int")
+            .alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- banded multi-permutation MinHash LSH (production shape) ---------------
+
+N_PERMS = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+_PERM_SENTINEL = 1 << 33  # above any 32-bit permutation value
+
+
+def _shingles_sql(words: str) -> str:
+    """Distinct word-5-gram shingle hashes of a words-array column."""
+    return (
+        f"array_distinct(transform(sequence(0, size({words}) - {SHINGLE}), "
+        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {SHINGLE})))))"
+    )
+
+
+def _perm_values_sql(sh: str) -> str:
+    """64 permutation hashes of one shingle from 16 md5 evaluations:
+    md5(shingle '#' k) yields 32 hex chars = four 32-bit values. At
+    production scale the same shape runs on xxhash64 with a seed array
+    (one hash per 8 perms); md5 is used here because the DuckDB oracle
+    must reproduce the values bit-for-bit.
+
+    Expression-shape note (this matters enormously for throughput):
+    higher-order-function lambdas are interpreted, and a non-trivial
+    expression referenced inside a lambda body is RE-EVALUATED on
+    every lambda iteration. The inner ``transform(array(md5(..)), h ->
+    ...)`` is a let-binding — the md5 lands in a bound variable h, so
+    extracting its four chunks reads an already-computed value instead
+    of hashing four times."""
+    return (
+        f"flatten(transform(sequence(0, {N_PERMS // 4 - 1}), k -> "
+        f"flatten(transform(array(md5(concat({sh}, '#', cast(k as string)))), "
+        f"h -> transform(sequence(0, 3), c -> "
+        f"cast(conv(substr(h, c * 8 + 1, 8), 16, 10) as bigint))))))"
+    )
+
+
+def _minhash_sig_sql(words: str) -> str:
+    """Elementwise min over shingles -> array<bigint> of 64 signature
+    values (one aggregate pass, no UDF)."""
+    return (
+        f"aggregate({_shingles_sql(words)}, "
+        f"array_repeat(cast({_PERM_SENTINEL} as bigint), {N_PERMS}), "
+        f"(acc, sh) -> zip_with(acc, {_perm_values_sql('sh')}, "
+        f"(a, v) -> least(a, v)))"
+    )
+
+
+def _band_keys_sql(words: str) -> str:
+    """b=16 band keys (band index baked into the key, so keys only
+    collide within the same band) computed in ONE aggregate pass over
+    the shingles, with the banding in the aggregate's FINISH lambda.
+
+    Why not sig-column-then-band-column: Catalyst's CollapseProject
+    inlines a staged signature column back into the 16-band transform,
+    and a lambda-body reference re-evaluates it per band — a silent
+    16x blow-up of the whole 64-perm aggregate. The finish lambda
+    receives the accumulator as a BOUND value, so the 16 band slices
+    read it for free."""
+    return (
+        f"aggregate({_shingles_sql(words)}, "
+        f"array_repeat(cast({_PERM_SENTINEL} as bigint), {N_PERMS}), "
+        f"(acc, sh) -> zip_with(acc, {_perm_values_sql('sh')}, "
+        f"(a, v) -> least(a, v)), "
+        f"acc -> transform(sequence(0, {BANDS - 1}), j -> "
+        f"md5(concat_ws(',', cast(j as string), "
+        f"transform(slice(acc, j * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}), "
+        f"x -> cast(x as string))))))"
+    )
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): the LSH shuffle relation — 16 rows of
+    ~50 bytes per document regardless of document size. This is what
+    makes the candidate join scale to 10^12 docs: the self-join never
+    touches text, only this relation."""
+    w = F.split("text", " ")
+    d = docs.select("doc_id", w.alias("w")).where(F.size("w") >= SHINGLE)
+    return d.select(
+        "doc_id", F.posexplode(F.expr(_band_keys_sql("w"))).alias("band", "band_key")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
+
+
+def minhash_banded_pairs(
+    docs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Candidate near-duplicate pairs from the banded LSH: docs sharing
+    >= 1 of 16 band keys. Collision probability for Jaccard J is
+    1-(1-J^4)^16 — the recall curve `minhash_banded_recall` measures.
+
+    ``max_bucket``: at web scale, boilerplate/empty-ish documents form
+    mega-buckets whose within-bucket self-join is quadratic; buckets
+    larger than this are dropped here (their members are by definition
+    exact-ish duplicates and are collapsed by the cheaper exact md5
+    pass instead). None = no cap (the oracle-checked configuration)."""
+    keys = minhash_band_keys(docs)
+    if max_bucket is not None:
+        sizes = keys.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
+        keys = keys.join(
+            sizes.where(F.col("_n") <= max_bucket), ["band", "band_key"]
+        ).drop("_n")
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_bands"))
+    )
+
+
+# truncation percentages for the recall measurement: variant = first
+# pct% of the words, so exact Jaccard is controlled ((k-4)/(n-4) for k
+# of n words kept) and the measured buckets span ~0.3..1.0
+RECALL_PCTS = (40, 55, 70, 78, 82, 86, 90, 94, 98)
+
+
+def minhash_banded_recall(docs: DataFrame) -> DataFrame:
+    """Recall of the banded LSH vs exact shingle Jaccard, by Jaccard
+    decile. Self-contained quality gate (like ivf_recall): for each
+    sampled doc and truncation pct, the (original, variant) pair's
+    exact Jaccard and whether the two band-key sets overlap — all
+    expression-level on a single row, no join. Returns
+    (j_bucket, n_pairs, n_caught, recall)."""
+    w = F.split("text", " ")
+    d = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 25)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.array(*[F.lit(p) for p in RECALL_PCTS])).alias("pct"),
+        )
+        .withColumn(
+            "wv",
+            F.expr(
+                # explicit floor: Spark's double->int cast truncates but
+                # DuckDB's rounds, so the oracle-parallel form is floor()
+                "slice(w, 1, greatest(cast(floor(size(w) * pct / 100) as int), 5))"
+            ),
+        )
+    )
+    # every expensive derivation is a single self-contained expression
+    # (see _band_keys_sql on why staging columns does NOT help here)
+    jac = F.round(
+        F.size(
+            F.array_intersect(
+                F.expr(_shingles_sql("w")), F.expr(_shingles_sql("wv"))
+            )
+        )
+        / F.size(
+            F.array_union(F.expr(_shingles_sql("w")), F.expr(_shingles_sql("wv")))
+        ),
+        6,
+    )
+    caught = F.arrays_overlap(
+        F.expr(_band_keys_sql("w")), F.expr(_band_keys_sql("wv"))
+    )
+    pairs = d.select(jac.alias("j"), caught.alias("caught"))
+    return (
+        pairs.groupBy(F.floor(F.col("j") * 10).cast("int").alias("j_bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("caught").cast("int")).alias("n_caught"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_pairs"), 6).alias("recall"),
+        )
+    )
+
+
 # -- exact n-gram Jaccard verification ------------------------------------
 
 
@@ -127,29 +402,51 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
 # -- duplicate clusters (connected components) -----------------------------
 
 
-def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    docs: DataFrame,
+    max_iters: int = 20,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over the near-duplicate candidate graph:
-    every doc that shares a MinHash bucket with another gets a
+    every doc that shares a candidate edge with another gets a
     cluster_id = the minimum doc_id reachable through candidate edges.
 
     Distributed min-label propagation (the scalable CC algorithm for
     graphs that don't fit one machine — unlike the intra-document
     union-find in layout.build_forests, which never needs to leave one
     kernel): each round joins labels across edges and keeps the
-    minimum; converges in <= graph-diameter rounds, checked with a
-    driver-side changed-count action per round. At 10^12 docs the same
-    loop runs over bucketed edge/label tables with AQE sizing each
-    round's shuffle. Returns (doc_id, cluster_id)."""
-    pairs = near_dup_pairs(docs).select("doc_a", "doc_b")
+    minimum; converges in <= graph-diameter rounds. Scale hygiene:
+
+    - each round's labels are ``localCheckpoint``-ed, so the plan/
+      lineage stays one join deep no matter how many rounds run (a
+      20-round cached-only loop builds a plan tree that stresses the
+      optimizer at real scale);
+    - the convergence check is folded into the SAME materialization: a
+      ``_changed`` flag is computed during the round and counted on the
+      already-checkpointed partitions — no second join-and-count job;
+    - if the loop exhausts ``max_iters`` with changes pending (graph
+      diameter > max_iters — possible once banded LSH edges feed in),
+      it RAISES instead of silently returning non-converged labels,
+      because the documented semantics (and the DuckDB oracle) are
+      true connected components.
+
+    ``pairs``: optional (doc_a, doc_b) candidate-edge relation; default
+    is the single-minhash ``near_dup_pairs`` (the oracle-locked
+    configuration). Pass ``minhash_banded_pairs(docs)`` for the
+    production LSH graph. Returns (doc_id, cluster_id)."""
+    if pairs is None:
+        pairs = near_dup_pairs(docs)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -163,19 +460,20 @@ def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     labels["label"], F.coalesce("nlabel", labels["label"])
                 ).alias("label"),
+                (F.coalesce("nlabel", labels["label"]) < labels["label"]).alias(
+                    "_changed"
+                ),
             )
-            .cache()
+            .localCheckpoint()  # eager: materializes this round, truncates lineage
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        changed = updated.where("_changed").count()  # scan of checkpointed rows only
+        labels = updated.drop("_changed")
         if changed == 0:
             break
-    out = labels.select("doc_id", F.col("label").alias("cluster_id"))
-    edges.unpersist()
-    return out
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — the "
+            f"candidate graph's diameter exceeds it"
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -1,0 +1,282 @@
+"""EP2 — the corpus evaluation job (reference evaluate_data.py).
+
+Grades a prediction table against a gold table the way the reference's
+second entry point does (evaluate_data.py:339-369):
+
+- IoU-argmax pairing (J5): every gold box pairs with the prediction
+  box of maximum IoU, accepted when IoU > 0.5, else unmatched
+  (evaluate_data.py:120-139; IoU math utils.py:22-34 — zero-clamped
+  intersection over union).
+- per-pair statistics (evaluate_data.py:142-186): sequence-correct per
+  class ('=' equations, '()' bracket fill-ins, residual division with
+  the '*'-stripped equivalence quirk at :168), char accuracy
+  1 - levenshtein/len(gold), state agreement, recall counting.
+- corpus rollup (Evaluate_Data, evaluate_data.py:245-297): seq/class/
+  state/char accuracies over MATCHED boxes (the reference increments
+  the per-class denominators only inside the matched branch), recall
+  over ALL gold boxes, with the 0-denominator guards of :282-293.
+
+Spark shape (designed for 10^12 docs): gold ⋈ pred is an equi-join on
+doc_id — per-document box counts are bounded (a page holds tens of
+boxes), so the join fans out O(boxes²) per document, never corpus-wide;
+the argmax is one window per gold box; the rollup is a single
+map-side-combinable aggregation. No UDFs anywhere — levenshtein,
+IoU arithmetic and the class routing are all built-in expressions
+inside whole-stage codegen.
+
+The ``gold_boxes``/``pred_boxes`` derivations synthesize a
+deterministic labeled benchmark from the flat ``documents`` table
+(pure expression-level functions of doc_id, so the DuckDB oracle
+replays them bit-for-bit): per doc 1-3 gold boxes across the three
+classes, predictions shifted by a controlled dx so IoU spans
+1.0 → 0.06 (exercising the >0.5 accept boundary), with deterministic
+label corruption, '*'-strip-equivalent residuals, state flips, missing
+detections and spurious extra boxes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# dx shift per (doc_id + box) % 6: IoU = (180-dx)/(180+dx) =
+# 1.0, .894, .8, .059, .935, .856 — index 3 fails the >0.5 accept
+_DX = (0, 10, 20, 160, 6, 14)
+
+
+def gold_boxes(doc_table: DataFrame) -> DataFrame:
+    """Deterministic gold table: (doc_id, box_id, left, top, right,
+    bottom, classes, label, state) — the shape of the reference's
+    XML-loaded truth (set_xml_data -> Result.all_box)."""
+    d = doc_table.select(
+        "doc_id", F.explode(F.expr("sequence(0, doc_id % 3)")).alias("box_id")
+    )
+    d = d.select(
+        "doc_id",
+        F.col("box_id").cast("int").alias("box_id"),
+        (F.lit(40) + F.col("box_id") * 220).cast("int").alias("left"),
+        (F.lit(30) + (F.col("doc_id") % 5) * 60).cast("int").alias("top"),
+        (F.col("doc_id") % 50 + 2).cast("int").alias("a"),
+        (F.col("box_id") + 3).cast("int").alias("b"),
+        ((F.col("doc_id") + F.col("box_id")) % 3).cast("int").alias("k"),
+        F.when((F.col("doc_id") + F.col("box_id")) % 2 == 0, "right")
+        .otherwise("error")
+        .alias("state"),
+    )
+    label = (
+        F.when(
+            F.col("k") == 0,
+            F.concat_ws("", F.col("a"), F.lit("+"), F.col("b"), F.lit("="),
+                        F.col("a") + F.col("b")),
+        )
+        .when(
+            F.col("k") == 1,
+            F.concat_ws("", F.col("a"), F.lit("+()="), F.col("a") + F.col("b")),
+        )
+        .otherwise(
+            F.concat_ws(
+                "", F.col("a"), F.lit("÷"), F.col("b"), F.lit("="),
+                F.expr("a div b"), F.lit("*"), F.col("a") % F.col("b"),
+            )
+        )
+    )
+    classes = F.element_at(F.array(F.lit("="), F.lit("()"), F.lit("...")), F.col("k") + 1)
+    return d.select(
+        "doc_id",
+        "box_id",
+        "left",
+        "top",
+        (F.col("left") + 180).alias("right"),
+        (F.col("top") + 40).alias("bottom"),
+        classes.alias("classes"),
+        label.alias("label"),
+        "state",
+    )
+
+
+def pred_boxes(doc_table: DataFrame) -> DataFrame:
+    """Deterministic prediction table: (doc_id, pred_id, left, top,
+    right, bottom, output, state) — the shape of the pipeline's
+    connect_result. Derived from the gold boxes with controlled
+    defects; plus a spurious far-away detection on every 7th doc."""
+    g = gold_boxes(doc_table)
+    key = F.col("doc_id") + F.col("box_id")
+    dx = F.element_at(F.array(*[F.lit(v) for v in _DX]), (key % 6).cast("int") + 1)
+    output = (
+        F.when(key % 4 == 1, F.concat(F.col("label"), F.lit("9")))
+        .when(
+            (key % 4 == 2) & (F.col("classes") == "..."),
+            F.replace(F.col("label"), F.lit("*"), F.lit("")),
+        )
+        .otherwise(F.col("label"))
+    )
+    state = (
+        F.when(key % 5 == 1,
+               F.when(F.col("state") == "right", "error").otherwise("right"))
+        .otherwise(F.col("state"))
+    )
+    shifted = g.select(
+        "doc_id",
+        F.col("box_id").alias("pred_id"),
+        (F.col("left") + dx).cast("int").alias("left"),
+        "top",
+        (F.col("right") + dx).cast("int").alias("right"),
+        "bottom",
+        output.alias("output"),
+        state.alias("state"),
+    )
+    spurious = (
+        doc_table.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit(99).alias("pred_id"),
+            F.lit(700).alias("left"),
+            F.lit(500).alias("top"),
+            F.lit(800).alias("right"),
+            F.lit(530).alias("bottom"),
+            F.lit("7+7=14").alias("output"),
+            F.lit("right").alias("state"),
+        )
+    )
+    return shifted.unionByName(spurious)
+
+
+def _iou():
+    """get_iou (reference utils.py:22-34): zero-clamped intersection /
+    union over [left, top, right, bottom] boxes; integer arithmetic
+    until the final division, rounded to 6 so Spark and the oracle
+    rank identically."""
+    iw = F.greatest(
+        F.least(F.col("g.right"), F.col("p.right"))
+        - F.greatest(F.col("g.left"), F.col("p.left")),
+        F.lit(0),
+    )
+    ih = F.greatest(
+        F.least(F.col("g.bottom"), F.col("p.bottom"))
+        - F.greatest(F.col("g.top"), F.col("p.top")),
+        F.lit(0),
+    )
+    inter = iw * ih
+    a1 = (F.col("g.right") - F.col("g.left")) * (F.col("g.bottom") - F.col("g.top"))
+    a2 = (F.col("p.right") - F.col("p.left")) * (F.col("p.bottom") - F.col("p.top"))
+    return F.round(inter.cast("double") / (a1 + a2 - inter), 6)
+
+
+def iou_argmax_pairs(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """J5: per gold box, the argmax-IoU prediction (strict-first-max =
+    min pred_id among ties, reference evaluate_data.py:120-139),
+    accepted when IoU > 0.5 else pair_id = -1. Returns
+    (doc_id, box_id, pair_id, iou)."""
+    g, p = gold.alias("g"), pred.alias("p")
+    scored = g.join(p, F.col("g.doc_id") == F.col("p.doc_id")).select(
+        F.col("g.doc_id").alias("doc_id"),
+        F.col("g.box_id").alias("box_id"),
+        F.col("p.pred_id").alias("pred_id"),
+        _iou().alias("iou"),
+    )
+    w = Window.partitionBy("doc_id", "box_id").orderBy(
+        F.col("iou").desc(), F.col("pred_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        "box_id",
+        F.when(F.col("iou") > 0.5, F.col("pred_id"))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("pair_id"),
+        "iou",
+    )
+
+
+def evaluate_tables(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """EP2 rollup over arbitrary gold/pred tables: one row of
+    corpus-level metrics (evaluate_data.py:245-297 semantics; see
+    module docstring). This is the reusable grading surface a model
+    operator calls (jobs/evaluate.py); char-acc contributions are
+    rounded to 6 decimals and summed as exact decimals, so the
+    aggregate is order-independent across engines and partitionings.
+
+    gold: (doc_id, box_id, left, top, right, bottom, classes, label,
+    state); pred: (doc_id, pred_id, left, top, right, bottom, output,
+    state)."""
+    pairs = iou_argmax_pairs(gold, pred)
+    m = (
+        pairs.join(gold, ["doc_id", "box_id"])
+        .join(
+            pred.select(
+                "doc_id",
+                F.col("pred_id").alias("pair_id"),
+                "output",
+                F.col("state").alias("pred_state"),
+            ),
+            ["doc_id", "pair_id"],
+            "left",  # unmatched gold boxes keep pair_id=-1, output null
+        )
+    )
+    matched = F.col("pair_id") != -1
+    seq_right = F.when(
+        F.col("classes") == "...",
+        (F.col("label") == F.col("output"))
+        | (
+            F.replace(F.col("label"), F.lit("*"), F.lit(""))
+            == F.replace(F.col("output"), F.lit("*"), F.lit(""))
+        ),
+    ).otherwise(F.col("label") == F.col("output"))
+    char_ratio = F.round(
+        F.levenshtein("label", "output").cast("double") / F.length("label"), 6
+    ).cast("decimal(18,6)")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = m.agg(
+        F.count("*").alias("n_boxes"),
+        cnt(matched).alias("n_matched"),
+        cnt(matched & seq_right).alias("n_right"),
+        cnt(matched & (F.col("classes") == "=")).alias("eq_all"),
+        cnt(matched & (F.col("classes") == "=") & seq_right).alias("eq_right"),
+        cnt(matched & (F.col("classes") == "()")).alias("br_all"),
+        cnt(matched & (F.col("classes") == "()") & seq_right).alias("br_right"),
+        cnt(matched & (F.col("classes") == "...")).alias("re_all"),
+        cnt(matched & (F.col("classes") == "...") & seq_right).alias("re_right"),
+        cnt(matched & (F.col("state") == F.col("pred_state"))).alias("state_right"),
+        F.sum(F.when(matched, char_ratio).otherwise(F.lit(0).cast("decimal(18,6)")))
+        .alias("lev_sum"),
+    )
+
+    def ratio(num, den):
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.round(F.col(num).cast("double") / F.col(den), 6)
+        )
+
+    return agg.select(
+        "n_boxes",
+        "n_matched",
+        ratio("n_right", "n_matched").alias("seq_acc"),
+        ratio("eq_right", "eq_all").alias("equation_acc"),
+        ratio("br_right", "br_all").alias("bracket_acc"),
+        ratio("re_right", "re_all").alias("residual_acc"),
+        ratio("state_right", "n_matched").alias("state_acc"),
+        F.when(F.col("n_matched") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n_matched") - F.col("lev_sum")).cast("double")
+                / F.col("n_matched"),
+                6,
+            )
+        )
+        .alias("char_acc"),
+        F.round(F.col("n_matched").cast("double") / F.col("n_boxes"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def eval_metrics(doc_table: DataFrame) -> DataFrame:
+    """Driver query: the EP2 rollup over the synthesized benchmark."""
+    return evaluate_tables(gold_boxes(doc_table), pred_boxes(doc_table))
+
+
+def eval_iou_pairs(doc_table: DataFrame) -> DataFrame:
+    """Driver query: the J5 pairing over the synthesized benchmark."""
+    return iou_argmax_pairs(gold_boxes(doc_table), pred_boxes(doc_table))

@@ -116,6 +116,12 @@ def extract_doc_batch_arrow(batches, weights: dict | None = None):
     dict per span — the Arrow->pandas conversion of nested structs was
     the dominant per-document overhead in the Spark path (~8 ms/doc
     measured; the OCR kernel itself is ~4.5 ms/doc).
+
+    Output assembly is fully vectorized: per-span emit counts ->
+    np.repeat/cumsum for row indices and the within-document ``order``
+    — the only Python loop left is over MEDIA spans, which genuinely
+    fan out through the per-page OCR kernel; text spans never touch a
+    Python-level loop.
     """
     import numpy as np  # noqa: PLC0415
     import pyarrow as pa  # noqa: PLC0415
@@ -124,7 +130,7 @@ def extract_doc_batch_arrow(batches, weights: dict | None = None):
         n = b.num_rows
         if n == 0:
             continue
-        doc_ids = b.column("doc_id").to_pylist()
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         spans = b.column("spans")
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
@@ -132,16 +138,26 @@ def extract_doc_batch_arrow(batches, weights: dict | None = None):
         lengths = pa.compute.list_value_length(spans).to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
         row_idx = np.repeat(np.arange(n), lengths)
-        kind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
-        text = pd.Series(flat.field("text").to_pylist(), dtype=object)
-        media_ref = np.asarray(flat.field("media_ref").to_pylist(), dtype=object)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        text = pd.Series(flat.field("text").to_numpy(zero_copy_only=False))
+        media_ref = flat.field("media_ref").to_numpy(zero_copy_only=False)
         offset = flat.field("offset").to_numpy(zero_copy_only=False)
 
         # canonical order (row, offset) — spans arrive offset-ordered,
-        # but the contract doesn't assume it
-        order_ix = np.lexsort((offset, row_idx))
-        row_idx, kind, media_ref = row_idx[order_ix], kind[order_ix], media_ref[order_ix]
-        text = text.iloc[order_ix].reset_index(drop=True)
+        # so the lexsort is skipped unless the contract is violated
+        if len(row_idx) and not bool(
+            np.all(
+                (row_idx[1:] > row_idx[:-1])
+                | ((row_idx[1:] == row_idx[:-1]) & (offset[1:] >= offset[:-1]))
+            )
+        ):
+            order_ix = np.lexsort((offset, row_idx))
+            row_idx, kind, media_ref = (
+                row_idx[order_ix],
+                kind[order_ix],
+                media_ref[order_ix],
+            )
+            text = text.iloc[order_ix].reset_index(drop=True)
 
         is_text = kind == "text"
         cleaned = np.empty(len(kind), dtype=object)
@@ -151,36 +167,35 @@ def extract_doc_batch_arrow(batches, weights: dict | None = None):
             cleaned[is_text] = c.to_numpy(dtype=object)
             keep[is_text] = k.to_numpy()
 
-        out_doc, out_order, out_kind, out_text, out_ref = [], [], [], [], []
-        prev_row = -1
-        order = 0
-        for i in range(len(row_idx)):
-            r = row_idx[i]
-            if r != prev_row:
-                prev_row = r
-                order = 0
-            if is_text[i]:
-                if keep[i]:
-                    out_doc.append(doc_ids[r])
-                    out_order.append(order)
-                    out_kind.append("text")
-                    out_text.append(cleaned[i])
-                    out_ref.append("")
-                    order += 1
-            else:
-                ref = media_ref[i]
-                for t in extract_media_span(ref, weights):
-                    out_doc.append(doc_ids[r])
-                    out_order.append(order)
-                    out_kind.append("media")
-                    out_text.append(t)
-                    out_ref.append(ref)
-                    order += 1
+        # media spans: the one irreducible Python loop (per-page OCR)
+        media_counts = np.zeros(len(kind), dtype=np.int64)
+        media_texts: list[list[str]] = []
+        for i in np.flatnonzero(~is_text):
+            texts = extract_media_span(media_ref[i], weights)
+            media_texts.append(texts)
+            media_counts[i] = len(texts)
+
+        # vectorized assembly: emit counts -> repeat/cumsum bookkeeping
+        emit = np.where(is_text, keep.astype(np.int64), media_counts)
+        total = int(emit.sum())
+        span_doc = np.repeat(row_idx, emit)
+        row_emit = np.bincount(row_idx, weights=emit, minlength=n).astype(np.int64)
+        row_start = np.concatenate(([0], np.cumsum(row_emit)[:-1]))
+        order = np.arange(total, dtype=np.int64) - np.repeat(row_start, row_emit)
+
+        unit_is_text = np.repeat(is_text, emit)
+        out_text = np.empty(total, dtype=object)
+        out_text[unit_is_text] = cleaned[is_text & keep]
+        out_text[~unit_is_text] = [t for ts in media_texts for t in ts]
+        out_ref = np.repeat(np.where(is_text, "", media_ref), emit)
+
         yield pa.RecordBatch.from_pydict(
             {
-                "doc_id": pa.array(out_doc, pa.string()),
-                "order": pa.array(out_order, pa.int32()),
-                "kind": pa.array(out_kind, pa.string()),
+                "doc_id": pa.array(doc_ids[span_doc], pa.string()),
+                "order": pa.array(order, pa.int32()),
+                "kind": pa.array(
+                    np.where(unit_is_text, "text", "media"), pa.string()
+                ),
                 "text": pa.array(out_text, pa.string()),
                 "media_ref": pa.array(out_ref, pa.string()),
             }

@@ -69,6 +69,40 @@ def refs_from_doc_table(doc_table: DataFrame) -> DataFrame:
     )
 
 
+def corpus_style_refs(doc_table: DataFrame) -> DataFrame:
+    """Media refs in the EXACT format the interleaved corpus generator
+    emits (sources/corpus.py doc_spans: ``m-`` + zero-padded
+    sha256-seed mod 10^12 for span offset 0) — but derived entirely at
+    the expression level, so the DuckDB oracle replays the same chain.
+    Where document offset 0 happens to hold a media span, these
+    strings are IDENTICAL to ``media_refs(corpus_df(...))`` output
+    (tested), which is what lets the oracle-checked decode/frame
+    queries exercise the real corpus ref derivation."""
+    h = F.sha2(
+        F.concat(
+            F.lit("ref\x1fdoc-"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit("\x1f0"),
+        ),
+        256,
+    )
+    d = doc_table.select(h.alias("h"))
+    # seed = little-endian uint64 of the first 8 digest bytes; the
+    # 256^i multipliers exceed int64 range at i=7, so the sum runs in
+    # decimal(38,0) (DuckDB mirrors with HUGEINT)
+    seed = None
+    for i in range(8):
+        term = _hexpair("h", 2 * i + 1).cast("decimal(38,0)") * F.lit(
+            str(256**i)
+        ).cast("decimal(38,0)")
+        seed = term if seed is None else seed + term
+    ref = F.concat(
+        F.lit("m-"),
+        F.lpad((seed % F.lit(10**12).cast("decimal(38,0)")).cast("string"), 12, "0"),
+    )
+    return d.select(ref.alias("media_ref"))
+
+
 def media_catalog(refs: DataFrame) -> DataFrame:
     """(media_ref) -> (media_ref, media_type, format, width, height,
     n_frames, n_bytes) — expression-only typed metadata; no UDF, no
@@ -120,10 +154,13 @@ _THUMB = 8  # synthetic decode resolution (HxW), payload-seeded
 
 
 def _payload_bytes(ref: str, n: int = 4096) -> bytes:
-    """Deterministic opaque payload: sha256-seeded byte stream. The
-    sandbox stand-in for reading the blob from object storage."""
-    seed = int.from_bytes(hashlib.sha256(ref.encode()).digest()[:8], "little")
-    return np.random.default_rng(seed).integers(0, 256, n, dtype=np.uint8).tobytes()
+    """Deterministic opaque payload: a counter-mode md5 stream
+    (16-byte block b = md5(ref ':' b)). The sandbox stand-in for
+    reading the blob from object storage — md5-based (not an RNG) so
+    the DuckDB oracle can replay any byte of it from SQL."""
+    return b"".join(
+        hashlib.md5(f"{ref}:{b}".encode()).digest() for b in range(n // 16)
+    )
 
 
 def synth_payload_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,13 +195,18 @@ def decode_media_batch(
         px = np.frombuffer(
             b"".join(bytes(p[:n]) for p in pdf["payload"]), dtype=np.uint8
         ).reshape(len(pdf), n).astype(np.float64)
+        # explicit formula (sum/n, sumsq/n - mean^2): /64 is a power of
+        # two so the divisions are exact, the remaining double ops are
+        # IEEE-identical in any engine -> round(6) is oracle-stable
+        mean = px.sum(axis=1) / n
+        std = np.sqrt(np.square(px).sum(axis=1) / n - mean * mean)
         yield pd.DataFrame(
             {
                 "media_ref": pdf["media_ref"],
                 "height": _THUMB,
                 "width": _THUMB,
-                "mean_px": px.mean(axis=1),
-                "std_px": px.std(axis=1),
+                "mean_px": np.round(mean, 6),
+                "std_px": np.round(std, 6),
             }
         )
 
@@ -207,7 +249,9 @@ def frame_sample_batch(
                 frame = buf[(fi * n) % (len(buf) - n) : (fi * n) % (len(buf) - n) + n]
                 out_ref.append(ref)
                 out_idx.append(fi)
-                out_mean.append(float(frame.mean()))
+                # int-sum / 64: exact in double AND at 6 decimals, so
+                # the oracle's round(sum/64.0, 6) is bit-identical
+                out_mean.append(round(float(int(frame.sum()) / n), 6))
         yield pd.DataFrame(
             {"media_ref": out_ref, "frame_idx": out_idx, "frame_mean": out_mean}
         )

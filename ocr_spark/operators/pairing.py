@@ -145,3 +145,38 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+def value_percentiles_approx_check(
+    events: DataFrame, accuracy: int = 10000, budget: float = 0.01
+) -> DataFrame:
+    """The 100 TB twin of ``value_percentiles``, shipped WITH its own
+    quality gate (same pattern as ivf_recall): computes both the exact
+    percentiles and approx_percentile sketches (accuracy = Greenwald-
+    Khanna 1/eps; sketches merge map-side, so the exact sort-per-group
+    disappears at scale) and emits ``within_budget`` = every sketch
+    value within ``budget`` relative error of the exact one. The
+    sketch values themselves are engine-specific and can't be
+    oracle-replayed — the cross-engine contract is the exact values
+    plus the (deterministically computed) budget verdict."""
+    exact = value_percentiles(events)
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], accuracy).alias("ap")
+    )
+
+    def ok(col: str, i: int):
+        e = F.col(col)
+        return F.abs(F.element_at("ap", i) - e) <= F.lit(budget) * F.greatest(
+            F.abs(e), F.lit(1e-9)
+        )
+
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "p50",
+            "p95",
+            "p99",
+            (ok("p50", 1) & ok("p95", 2) & ok("p99", 3)).alias("within_budget"),
+        )
+    )

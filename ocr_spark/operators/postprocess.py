@@ -55,7 +55,7 @@ def _recognize(page: Page, nodes: list[Node], weights: dict | None = None) -> No
         return
     from ocr_spark.sources.weights import project_probs
 
-    mats = [project_probs(box_probs(page, n.bbox), weights) for n in nodes]
+    mats = [project_probs(box_probs(page, n.bbox, weights), weights) for n in nodes]
     lengths = np.array([m.shape[0] for m in mats], dtype=np.int64)
     t_max = int(lengths.max())
     batch = np.zeros((len(mats), t_max, mats[0].shape[1]), dtype=np.float64)

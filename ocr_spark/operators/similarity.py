@@ -50,6 +50,23 @@ CENTROID_STRIDE = 100  # every 100th vector acts as a codebook entry
 QUERY_EVERY = 50
 
 
+def _codebook(e: DataFrame, stride: int) -> DataFrame:
+    """The coarse codebook: every ``stride``-th vector. Guarded: if no
+    vec_id is divisible by ``stride`` (ids not starting at 0, or fewer
+    than ``stride`` rows) the codebook is empty and every downstream
+    IVF query would silently return zero rows — fail loudly instead.
+    The isEmpty probe short-circuits after the first matching row."""
+    cents = e.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    if cents.isEmpty():
+        raise ValueError(
+            f"IVF codebook is empty: no vec_id divisible by stride={stride}; "
+            f"lower the stride or use knn_cosine_topk (brute force)"
+        )
+    return cents
+
+
 def ivf_assign(emb: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
     """Assign every vector to its nearest coarse centroid.
 
@@ -60,9 +77,7 @@ def ivf_assign(emb: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
     the corpus, argmax by cosine with centroid-id tie-break, NO
     corpus-sized shuffle. Returns (vec_id, cell_id)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = e.where(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
-    )
+    cents = _codebook(e, stride)
     cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
     # argmax via map-side max_by aggregation instead of a sort window:
     # the (vectors x codebook) relation never hits a full sort, and the
@@ -145,9 +160,7 @@ def _cells(emb: DataFrame, stride: int, nprobe: int) -> DataFrame:
     """Top-``nprobe`` nearest codebook cells per vector
     (vec_id, cell_id, probe_rank)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = e.where(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
-    )
+    cents = _codebook(e, stride)
     cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
     return (

@@ -93,6 +93,32 @@ def char_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
+def distinct_token_check(docs: DataFrame, rsd: float = 0.01, budget: float = 0.05) -> DataFrame:
+    """The 100 TB twin of exact vocabulary counting, shipped with its
+    own quality gate: HyperLogLog++ ``approx_count_distinct`` (fixed
+    ~kB sketch per partition, merged map-side — no shuffle of the
+    token universe) checked against the exact distinct count at this
+    scale. Emits (n_exact, within_budget): the sketch estimate is
+    engine-specific so the cross-engine contract is the exact count
+    plus the (deterministic — HLL is a pure function of its input)
+    budget verdict at ``budget`` relative error (= 5 sigma for
+    rsd=0.01)."""
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    agg = toks.agg(
+        F.countDistinct("tok").alias("n_exact"),
+        F.approx_count_distinct("tok", rsd).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(budget)
+        ).alias("within_budget"),
+    )
+
+
 def length_histogram(docs: DataFrame) -> DataFrame:
     bin_col = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
     return docs.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n"))
@@ -146,8 +172,9 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
     non-alphanumeric marks) counts the units a byte-pair encoder would
     start from. Pure regexp_extract_all — stays in codegen; the
     pattern uses only constructs that Java regex and RE2 interpret
-    identically so the oracle can replay it."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    identically so the oracle can replay it (whitespace is an explicit
+    class, not \\s: Java's \\s includes vertical tab, RE2's does not)."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ocr_spark.config import HEAVY_MEDIA_SPANS
+from ocr_spark.config import HEAVY_MEDIA_SPANS, HEAVY_SAMPLE_DOCS, HEAVY_SKEW_RATIO
 from ocr_spark.operators.extract_batch import (
     extract_doc_batch_arrow,
     extract_span_batch,
@@ -120,23 +120,48 @@ def extract(
     heavy_threshold: int | str = "auto",
     buckets: int | None = None,
     salt: bool | str = "auto",
+    media_stats: tuple | str = "sample",
+    scan_partitions: int | None = None,
 ) -> DataFrame:
     """docs (doc_id, spans) -> extracted spans
     (doc_id, order, kind, text, media_ref).
 
-    ``heavy_threshold='auto'`` picks the split point from a cost
-    model instead of a constant: a document goes to the span-exploded
-    path only when its media count exceeds 1/4 of an average SLOT's
-    total media work (total_media / parallelism / 4) — i.e. when one
-    row could meaningfully stretch a stage's tail. A cheap one-pass
-    aggregate (sum/max of size(spans)) prices the batch; when even
+    ``heavy_threshold='auto'`` picks the split point from a
+    scale-invariant outlier rule: a document goes to the span-exploded
+    path when its media count exceeds HEAVY_SKEW_RATIO (8x) times the
+    corpus mean — i.e. when one row's cost is an outlier against the
+    typical task's work mix, which is the property that stretches a
+    stage tail at ANY corpus size (the ratio form needs no absolute
+    totals, so the rule is identical at 10^3 and 10^12 docs). When even
     the heaviest document is below the line, the heavy branch (its
     extra scan, shuffle and window) is dropped from the plan entirely.
-    At sandbox scale (~2 ms per media span) nothing splits and the
-    plan is a single narrow map; at production scale (real OCR,
-    ~100 ms+/page) the same rule splits exactly the documents that
-    would otherwise hold a stage hostage. Pass an int to pin the
-    split point explicitly (the bench ablations do)."""
+    Pass an int to pin the split point explicitly (the bench ablations
+    do).
+
+    ``media_stats`` feeds that rule WITHOUT a full extra pass over the
+    corpus (pricing a 100 TB table with a second complete scan to pick
+    one integer is wrong):
+
+    - ``(mean_media, max_media)`` tuple — exact statistics from table
+      metadata: at production scale the Iceberg manifests carry
+      per-file aggregates of an ingest-computed media-count column, so
+      this is a metadata-only read. Exact max => the branch-drop
+      decision is exact. THE intended production mode.
+    - ``'sample'`` (default) — estimate both from a bounded
+      ``limit(HEAVY_SAMPLE_DOCS)`` partial scan (CollectLimit reads one
+      or two partitions and stops). The sampled max under-observes the
+      tail, so a missed mega-doc rides the light path — slower, never
+      wrong; manifests are the fix at production scale.
+    - ``'exact'`` — the full sum/max aggregate, kept as the explicit
+      fallback for corpora with neither metadata nor a trustworthy
+      prefix sample.
+
+    ``salt``/``scan_partitions``: the light-path repartition runs only
+    when the scan has fewer partitions than the cluster parallelism;
+    ``scan_partitions`` supplies that number from the caller (who knows
+    the layout), else it is derived from ``inputFiles()`` — a
+    metadata-only lookup — for file-backed sources; sources that are
+    neither (e.g. a generated range) are assumed already parallel."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     buckets = buckets or parallelism * 2
@@ -157,16 +182,32 @@ def extract(
     docs = docs.withColumn("_n_media", media_span_count())
 
     if heavy_threshold == "auto":
-        stats = docs.agg(
-            F.sum("_n_media").alias("total"), F.max("_n_media").alias("mx")
-        ).first()
-        total, mx = (stats["total"] or 0), (stats["mx"] or 0)
-        heavy_threshold = max(HEAVY_MEDIA_SPANS, int(total / parallelism / 4))
+        if isinstance(media_stats, tuple):
+            mean, mx = media_stats
+        elif media_stats == "sample":
+            row = (
+                docs.select("_n_media")
+                .limit(HEAVY_SAMPLE_DOCS)
+                .agg(F.avg("_n_media").alias("mean"), F.max("_n_media").alias("mx"))
+                .first()
+            )
+            mean, mx = (row["mean"] or 0.0), (row["mx"] or 0)
+        elif media_stats == "exact":
+            row = docs.agg(
+                F.avg("_n_media").alias("mean"), F.max("_n_media").alias("mx")
+            ).first()
+            mean, mx = (row["mean"] or 0.0), (row["mx"] or 0)
+        else:
+            raise ValueError(f"media_stats: {media_stats!r}")
+        heavy_threshold = max(HEAVY_MEDIA_SPANS, int(HEAVY_SKEW_RATIO * mean))
         if mx <= heavy_threshold:
             heavy_threshold = None  # nothing qualifies: drop the branch
 
     if salt == "auto":
-        salt = docs.rdd.getNumPartitions() < parallelism
+        if scan_partitions is None:
+            files = docs.inputFiles()
+            scan_partitions = len(files) if files else parallelism
+        salt = scan_partitions < parallelism
 
     if heavy_threshold is None:
         light = docs.drop("_n_media")

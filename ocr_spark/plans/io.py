@@ -69,7 +69,7 @@ class SnapshotStore:
     def current_snapshot(self) -> dict:
         ptr = os.path.join(self.snap_dir, CURRENT)
         if not os.path.exists(ptr):
-            return {"snapshot_id": 0, "committed_buckets": [], "lineage": []}
+            return {"snapshot_id": 0, "committed_buckets": [], "lineage_delta": []}
         with open(ptr) as f:
             return json.load(f)
 
@@ -87,16 +87,50 @@ class SnapshotStore:
     def committed_buckets(self) -> set[int]:
         return set(self.current_snapshot()["committed_buckets"])
 
+    _METRIC_FIELDS = (
+        ("snapshot_id", "int32"),
+        ("bucket", "int32"),
+        ("n_docs", "int64"),
+        ("n_spans", "int64"),
+        ("n_media_spans", "int64"),
+        ("wall_s", "float64"),
+        ("docs_per_sec", "float64"),
+        ("attempt", "int32"),
+    )
+
+    def _write_metrics(self, snapshot_id: int, rows: list[dict]) -> None:
+        """Commit-protocol step 2: the group's metric rows land in the
+        _metrics parquet table (one file per snapshot, written BEFORE
+        the pointer swap — a crash between the two leaves an orphan
+        file that readers never see because they filter to committed
+        snapshot ids; a re-attempt of the same snapshot id simply
+        overwrites it)."""
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        schema = pa.schema([(n, getattr(pa, t)()) for n, t in self._METRIC_FIELDS])
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(
+            table, os.path.join(self.metrics_dir, f"snap-{snapshot_id:06d}.parquet")
+        )
+
     def commit(self, new_buckets: list[int], lineage_rows: list[dict]) -> dict:
         """Atomically advance the snapshot pointer. os.replace is the
-        same primitive Iceberg catalogs use for the pointer swap."""
+        same primitive Iceberg catalogs use for the pointer swap.
+
+        The snapshot manifest records only THIS commit's lineage delta
+        (the cumulative list would make manifest files grow O(n^2) over
+        many commits); the full history lives in the _metrics parquet
+        table, one file per snapshot."""
         parent = self.current_snapshot()
         snap = {
             "snapshot_id": parent["snapshot_id"] + 1,
             "parent_id": parent["snapshot_id"],
             "committed_buckets": sorted(set(parent["committed_buckets"]) | set(new_buckets)),
-            "lineage": parent["lineage"] + lineage_rows,
+            "lineage_delta": lineage_rows,
         }
+        self._write_metrics(snap["snapshot_id"], lineage_rows)
         final = os.path.join(self.snap_dir, f"snap-{snap['snapshot_id']:06d}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -128,14 +162,37 @@ class SnapshotStore:
             return spark.createDataFrame([], "doc_id string, order int, kind string, text string, media_ref string, bucket int")
         return spark.read.parquet(self.data_dir).where(F.col("bucket").isin(committed))
 
+    def lineage(self, snapshot_id: int | None = None) -> list[dict]:
+        """Full lineage history as of a snapshot (None = current):
+        committed _metrics files, read driver-side (they are tiny)."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        current = (
+            self.current_snapshot()["snapshot_id"]
+            if snapshot_id is None
+            else snapshot_id
+        )
+        rows: list[dict] = []
+        for sid in range(1, current + 1):
+            path = os.path.join(self.metrics_dir, f"snap-{sid:06d}.parquet")
+            if os.path.exists(path):
+                rows.extend(pq.read_table(path).to_pylist())
+        return rows
+
     def read_metrics(self, spark: SparkSession) -> DataFrame:
-        """The _metrics table: one row per committed bucket."""
-        rows = self.current_snapshot()["lineage"]
+        """The _metrics table: one row per committed bucket. Orphan
+        metric files from crashed attempts (snapshot ids beyond
+        CURRENT) are filtered out, mirroring the data-side read."""
         schema = (
             "snapshot_id int, bucket int, n_docs bigint, n_spans bigint, "
             "n_media_spans bigint, wall_s double, docs_per_sec double, attempt int"
         )
-        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        if not os.path.isdir(self.metrics_dir):
+            return spark.createDataFrame([], schema)
+        current = self.current_snapshot()["snapshot_id"]
+        return spark.read.parquet(self.metrics_dir).where(
+            F.col("snapshot_id") <= current
+        )
 
 
 def run_extract_job(

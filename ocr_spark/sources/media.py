@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ocr_spark.config import ALPHABET, BLANK_ID, CHAR_TO_ID
+from ocr_spark.config import ALPHABET, CHAR_TO_ID
 
 
 def stable_seed(*parts) -> int:
@@ -135,49 +135,53 @@ def read_label(page: Page, bbox) -> str:
     return "".join(t[2] for t in hits)
 
 
-def synth_probs(label: str, seed: int) -> np.ndarray:
-    """Deterministic CTC probability matrix for a gold label.
+def _inject_corruption(
+    probs: np.ndarray, label: str, rng: np.random.Generator
+) -> np.ndarray:
+    """Deterministic recognition-noise injection (seeded): with p=0.1
+    one character position's frames get a wrong class boosted 1.25x
+    over the true one, so greedy decode errs there while the true
+    sequence stays within beam reach — exercising the reference's
+    backup-retry path (pipline.py:713-723). Mirrors round-1's
+    corrupt-frame design on top of the now-real forward pass."""
+    from ocr_spark.functions.crnn import char_frame_range  # noqa: PLC0415
 
-    Frame pattern: blank, then per char (char-frame, blank-frame),
-    with a closing blank. One character position may be "corrupted":
-    a wrong class gets slightly higher probability than the true one,
-    so greedy decode errs there while the true sequence stays within
-    beam reach — exercising the reference's backup-retry path
-    (pipline.py:713-723).
-    """
-    rng = np.random.default_rng(seed)
-    ids = [CHAR_TO_ID[c] for c in label]
-    t_total = 2 * len(ids) + 2
+    if not label or rng.random() >= 0.10:
+        return probs
+    pos = int(rng.integers(0, len(label)))
+    cid = CHAR_TO_ID[label[pos]]
     n_classes = len(ALPHABET)
-    probs = rng.uniform(0.001, 0.01, size=(t_total, n_classes))
-
-    corrupt_pos = -1
-    if ids and rng.random() < 0.12:
-        corrupt_pos = int(rng.integers(0, len(ids)))
-
-    probs[0, BLANK_ID] = rng.uniform(0.75, 0.95)
-    frame = 1
-    for pos, cid in enumerate(ids):
-        if pos == corrupt_pos:
-            wrong = int(rng.integers(0, n_classes - 1))  # never blank
-            if wrong == cid:
-                wrong = (wrong + 1) % (n_classes - 1)
-            probs[frame, wrong] = 0.44
-            probs[frame, cid] = 0.36
-        else:
-            probs[frame, cid] = rng.uniform(0.70, 0.95)
-        frame += 1
-        probs[frame, BLANK_ID] = rng.uniform(0.75, 0.95)
-        frame += 1
-    probs[frame, BLANK_ID] = rng.uniform(0.75, 0.95)
-    probs /= probs.sum(axis=1, keepdims=True)
+    wrong = int(rng.integers(0, n_classes - 1))  # never blank
+    if wrong == cid:
+        wrong = (wrong + 1) % (n_classes - 1)
+    t0, t1 = char_frame_range(pos, len(probs))
+    for t in range(t0, t1 + 1):
+        probs[t, wrong] = probs[t, cid] * 1.25
+        probs[t] /= probs[t].sum()
     return probs
 
 
-def box_probs(page: Page, bbox) -> np.ndarray:
-    """CTC probabilities for recognizing the given crop of a page."""
+def box_probs(page: Page, bbox, weights: dict | None = None) -> np.ndarray:
+    """CTC probabilities for recognizing the given crop of a page —
+    REAL compute since round 2: the gold label is rendered to pixels
+    (the sandbox twin of cropping the image) and pushed through the
+    conv + recurrence + classifier forward pass
+    (ocr_spark.functions.crnn, reference model.py:93-218), so T is the
+    reference's width-dependent sequence_length, not a synthetic frame
+    pattern. ``weights``: the broadcast model-weights dict
+    (sources/weights.py); None builds/reuses the process-local default
+    (same values — the oracle transcription path)."""
+    from ocr_spark.functions.crnn import forward_probs, render_label  # noqa: PLC0415
+
+    if weights is None or "conv1" not in weights:
+        from ocr_spark.sources.weights import default_weights  # noqa: PLC0415
+
+        weights = default_weights()
     label = read_label(page, bbox)
     seed = stable_seed(
         "probs", page.media_ref, int(bbox[0]), int(bbox[1]), int(bbox[2]), int(bbox[3])
     )
-    return synth_probs(label, seed)
+    rng = np.random.default_rng(seed)
+    img = render_label(label, seed=seed)
+    probs = forward_probs(img, weights)
+    return _inject_corruption(probs, label, rng)

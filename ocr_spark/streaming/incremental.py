@@ -100,6 +100,7 @@ _SESSION_STATE_SCHEMA = T.StructType(
         T.StructField("last_ts", T.DoubleType()),
         T.StructField("n_sessions", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
     ]
 )
 
@@ -108,47 +109,93 @@ _SESSION_OUT_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType()),
         T.StructField("n_sessions", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
     ]
 )
 
-
-def _sessionize_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Stateful kernel: fold this micro-batch's events (sorted by ts)
-    into the user's running (last_ts, n_sessions, n_events)."""
-    last_ts, n_sessions, n_events = (
-        state.get if state.exists else (None, 0, 0)
-    )
-    for pdf in pdfs:
-        ts = pdf["ts"].sort_values()
-        secs = ts.astype("int64") / 1e9
-        for t in secs:
-            if last_ts is None or t - last_ts > SESSION_GAP_S:
-                n_sessions += 1
-            last_ts = float(t)
-            n_events += 1
-    state.update((last_ts, n_sessions, n_events))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
-    )
+# idle per-user state is evicted after this much processing time with
+# no events — the property that keeps the state store finite on a
+# perpetual feed with a churning user population. Applied only when
+# the caller opts in (continuous deployments): with Trigger.AvailableNow
+# drain-and-stop jobs, registered processing-time timers keep the
+# query alive past the available data, so the TTL stays off there.
+SESSION_STATE_TTL_MS = 24 * 3600 * 1000
 
 
-def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+def _make_sessionize_kernel(state_ttl_ms: int | None):
+    """Build the stateful kernel. The monotonicity contract (per-user
+    event time never goes backwards ACROSS micro-batches) is CHECKED,
+    not assumed: a batch whose minimum ts precedes the stored last_ts
+    is counted in ``n_violations`` and surfaced in every output row,
+    so an operator sees out-of-order input inflating session counts
+    instead of silently trusting them. With a TTL, idle users' state
+    is dropped on timeout (the last emitted row already carries their
+    final totals)."""
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, n_sessions, n_events, n_violations = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            secs = pdf["ts"].sort_values().astype("int64") / 1e9
+            if last_ts is not None and float(secs.iloc[0]) < last_ts:
+                n_violations += 1
+            for t in secs:
+                if last_ts is None or t - last_ts > SESSION_GAP_S:
+                    n_sessions += 1
+                last_ts = float(t)
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events, n_violations))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "n_violations": [n_violations],
+            }
+        )
+
+    return kernel
+
+
+def stream_sessionize(
+    events_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Per-user session counts maintained in the state store.
 
     Emits the updated running totals for every user seen in each
     micro-batch; the latest row per user is the answer (output mode
-    'update'). Requires per-user event-time monotonicity ACROSS
-    micro-batches (true for an append-only time-ordered feed)."""
+    'update'). Per-user event-time monotonicity across micro-batches
+    is required for counts to equal the batch ``sessionize`` — and is
+    detected when violated (``n_violations`` column).
+
+    ``state_ttl_ms``: pass SESSION_STATE_TTL_MS in CONTINUOUS
+    deployments to evict idle users' state (bounded state store on a
+    churning population). Default None = no processing-time timers:
+    under Trigger.AvailableNow, registered timers keep the query alive
+    past the available data, so drain-and-stop jobs must run without
+    them."""
     return (
         events_stream.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _make_sessionize_kernel(state_ttl_ms),
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

@@ -1,0 +1,93 @@
+"""Banded-LSH dedup family (operators/dedup.py): recall quality gate,
+bucket-cap behavior, Hamming-band pigeonhole properties, and the
+connected-components convergence contract. Value parity vs DuckDB is
+in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_banded_recall_meets_quality_bar(spark, docs):
+    """The round-2 acceptance gate: banded LSH (b=16, r=4) catches
+    >= 90% of pairs with exact Jaccard >= 0.8 (theory: 1-(1-J^4)^16
+    = 0.9997 at J=0.8), and is near-perfect at J >= 0.9."""
+    rows = {r["j_bucket"]: r for r in dedup.minhash_banded_recall(docs).collect()}
+    high = [rows[b] for b in rows if b >= 8]
+    assert high, "benchmark produced no J>=0.8 pairs"
+    n = sum(r["n_pairs"] for r in high)
+    c = sum(r["n_caught"] for r in high)
+    assert c / n >= 0.9, f"recall at J>=0.8 is {c / n:.3f}"
+    top = [rows[b] for b in rows if b >= 9]
+    if top:
+        nt = sum(r["n_pairs"] for r in top)
+        ct = sum(r["n_caught"] for r in top)
+        assert ct / nt >= 0.99
+
+
+def test_exact_dups_collide_on_all_bands(spark):
+    """Constructed duplicates (the driver corpus has no exact dups):
+    identical texts share every minhash band (n_bands = 16) and have
+    SimHash Hamming distance 0; an unrelated text pairs with
+    neither."""
+    base = " ".join(f"tok{i % 17} word{i}" for i in range(20))
+    other = " ".join(f"zz{i} qq{i * 3}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"]
+        for r in dedup.minhash_banded_pairs(d).collect()
+    }
+    assert banded == {(1, 2): 16}
+    ham = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(d).collect()
+    }
+    assert ham == {(1, 2): 0}
+
+
+def test_bucket_cap_drops_mega_buckets(spark, docs):
+    uncapped = dedup.minhash_banded_pairs(docs).count()
+    assert dedup.minhash_banded_pairs(docs, max_bucket=1).count() == 0
+    assert dedup.minhash_banded_pairs(docs, max_bucket=10_000).count() == uncapped
+
+
+def test_hamming_pairs_within_bound(spark, docs):
+    rows = dedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    assert rows, "no near-dup simhash pairs found"
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_dup_clusters_on_chained_graph(spark):
+    """A diameter-10 path graph: converges under sufficient max_iters
+    to a single cluster; RAISES (not silently wrong) when max_iters is
+    below the diameter — the contract the DuckDB oracle relies on."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    dummy_docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = dedup.dup_clusters(dummy_docs, max_iters=20, pairs=pairs).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == 11
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(dummy_docs, max_iters=2, pairs=pairs)
+
+
+def test_banded_pairs_have_verified_jaccard_path(spark, docs):
+    """Funnel sanity: candidates from the banded join can be verified
+    with exact Jaccard restricted to the candidate set; pairs sharing
+    many bands skew to high Jaccard."""
+    cand = dedup.minhash_banded_pairs(docs)
+    full_band = cand.where(F.col("n_bands") == 16).count()
+    assert full_band > 0

@@ -65,6 +65,27 @@ def test_frame_sample_flatmap(spark, refs):
         assert sorted(idxs) == list(range(0, videos[ref], 5))
 
 
+def test_corpus_style_refs_match_generator(spark, refs):
+    """The expression-level sha256 ref derivation reproduces the
+    corpus generator's refs exactly: for every document whose offset-0
+    span is media, corpus_style_refs(doc_id row) == the ref the
+    generator emitted for (doc_id, offset 0)."""
+    from ocr_spark.sources.corpus import doc_spans
+
+    expected = {}
+    for i in range(40):
+        did = f"doc-{i:08d}"
+        s0 = doc_spans(did)[0]
+        if s0["kind"] == "media":
+            expected[i] = s0["media_ref"]
+    assert expected, "no doc with a media span at offset 0 in the sample"
+    doc_table = spark.createDataFrame([(i,) for i in expected], "doc_id long")
+    derived = {
+        r["media_ref"] for r in mm.corpus_style_refs(doc_table).collect()
+    }
+    assert derived == set(expected.values())
+
+
 def test_catalog_agrees_between_ref_sources(spark, refs):
     """The catalog derivation is source-agnostic: same metadata columns
     for corpus refs and doc-table refs."""

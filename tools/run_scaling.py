@@ -86,7 +86,7 @@ def effective_cores(seconds: float = 5.0) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--docs", type=int, default=6000)
     ap.add_argument("--timed", type=int, default=3)
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--n-large", type=int, default=32)
@@ -117,15 +117,16 @@ def main() -> None:
         .drop("_m")
         .write.parquet(corpus_sorted)
     )
-    # mega-doc corpus: the base corpus plus ONE document of 16k media
-    # spans (~30 core-seconds of kernel work) — the indivisible-row
-    # straggler that per-row cost skew produces at 100 TB
+    # mega-doc corpus: the base corpus plus ONE document of 4k media
+    # spans (~2 core-minutes of REAL kernel work since round 2) — the
+    # indivisible-row straggler that per-row cost skew produces at 100 TB
     corpus_mega = os.path.join(work, "corpus_mega")
     from ocr_spark.plans.extract import DOCS_SCHEMA
 
-    mega_spans = [
+    mega_spans = [  # ~2 core-minutes of REAL kernel work in one row
+        
         {"kind": "media", "text": "", "media_ref": f"m-mega{i}", "offset": i}
-        for i in range(16000)
+        for i in range(4000)
     ]
     spark.createDataFrame([("doc-mega", mega_spans)], DOCS_SCHEMA).write.parquet(
         corpus_mega
@@ -153,7 +154,7 @@ def main() -> None:
         (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega),
     ]:
         walls = []
-        reps = args.timed if cpus > 16 else args.timed + 2
+        reps = args.timed  # real kernel: 3 cold-JVM medians per config
         for _ in range(reps):
             r = run_once(src, out, cpus, h, salt)
             walls.append(r["wall_s"])
