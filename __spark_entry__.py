@@ -166,12 +166,38 @@ def _dk_shingles(w: str) -> str:
     )
 
 
-def _dk_sig(sh: str) -> str:
+_PERM_A_SQL = "[" + ",".join(str(v) for v in dedup.PERM_A) + "]"
+_PERM_B_SQL = "[" + ",".join(str(v) for v in dedup.PERM_B) + "]"
+_PERM_C_SQL = "[" + ",".join(str(v) for v in dedup.PERM_C) + "]"
+
+
+def _dk_hs(sh: str) -> str:
+    """Per-shingle 28-bit md5 halves, hashed ONCE per shingle (the
+    64 affine maps then run on the materialized struct list)."""
     return (
-        f"list_transform(range(64), p -> list_min(list_transform({sh}, s -> "
-        f"CAST('0x' || substr(md5(s || '#' || CAST(p // 4 AS VARCHAR)), "
-        f"CAST((p % 4) * 8 + 1 AS INT), 8) AS BIGINT))))"
+        f"list_transform({sh}, s -> "
+        f"{{'x': CAST('0x' || substr(md5(s), 1, 7) AS BIGINT), "
+        f"'y': CAST('0x' || substr(md5(s), 8, 7) AS BIGINT)}})"
     )
+
+
+def _dk_sig(hs: str) -> str:
+    """Requires the ``pc`` constants CTE in scope (pa/pb/pcc columns):
+    a 64-literal list inlined in the lambda would be re-materialized on
+    EVERY iteration — measured 200x slower than reading the hoisted
+    column."""
+    return (
+        f"list_transform(range(64), p -> list_min(list_transform({hs}, h -> "
+        f"(pa[CAST(p + 1 AS INT)] * h.x"
+        f" + pb[CAST(p + 1 AS INT)] * h.y"
+        f" + pcc[CAST(p + 1 AS INT)]) % {dedup._PERM_P})))"
+    )
+
+
+_DK_PC_CTE = (
+    f"pc AS MATERIALIZED (SELECT {_PERM_A_SQL} AS pa, {_PERM_B_SQL} AS pb, "
+    f"{_PERM_C_SQL} AS pcc)"
+)
 
 
 def _dk_bands(sig: str) -> str:
@@ -185,9 +211,11 @@ def _dk_bands(sig: str) -> str:
 _DK_BAND_KEYS_CTE = f"""
         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         ws AS (SELECT doc_id, w FROM w WHERE len(w) >= 5),
-        sh AS (SELECT doc_id, {_dk_shingles('w')} AS sh FROM ws),
-        sig AS (SELECT doc_id, {_dk_sig('sh')} AS sig FROM sh),
-        bk AS (SELECT doc_id, CAST(j AS INT) AS band,
+        sh AS MATERIALIZED (SELECT doc_id, {_dk_shingles('w')} AS sh FROM ws),
+        hs AS MATERIALIZED (SELECT doc_id, {_dk_hs('sh')} AS hs FROM sh),
+        {_DK_PC_CTE},
+        sig AS MATERIALIZED (SELECT doc_id, {_dk_sig('hs')} AS sig FROM hs, pc),
+        bk AS MATERIALIZED (SELECT doc_id, CAST(j AS INT) AS band,
                       {_dk_bands('sig')}[CAST(j + 1 AS INT)] AS band_key
                FROM sig, range(16) t(j))
 """
@@ -201,7 +229,7 @@ _DK_SIM64_CTE = """
                                   - 1) >> CAST(j % 4 AS INT)) & 1) = 1
                                   THEN 1 ELSE -1 END) AS c
                   FROM tok, range(64) r(j) GROUP BY doc_id, j),
-        sim AS (SELECT doc_id,
+        sim AS MATERIALIZED (SELECT doc_id,
                        CAST(sum(CASE WHEN c > 0 AND j // 16 = 0
                                 THEN 1 << CAST(j % 16 AS INT) ELSE 0 END) AS BIGINT) AS chunk0,
                        CAST(sum(CASE WHEN c > 0 AND j // 16 = 1
@@ -499,13 +527,17 @@ ORACLES: dict[str, str] = {
         v AS (SELECT doc_id, w,
                      w[1:greatest(CAST(floor(len(w) * pct / 100) AS INT), 5)] AS wv
               FROM p),
-        sh2 AS (SELECT doc_id, {_dk_shingles('w')} AS sh_o,
+        sh2 AS MATERIALIZED (SELECT doc_id, {_dk_shingles('w')} AS sh_o,
                        {_dk_shingles('wv')} AS sh_v
                 FROM v),
-        sig2 AS (SELECT doc_id, sh_o, sh_v, {_dk_sig('sh_o')} AS sig_o,
-                        {_dk_sig('sh_v')} AS sig_v
-                 FROM sh2),
-        bk2 AS (SELECT doc_id, sh_o, sh_v, {_dk_bands('sig_o')} AS bk_o,
+        hs2 AS MATERIALIZED (SELECT doc_id, sh_o, sh_v, {_dk_hs('sh_o')} AS hs_o,
+                       {_dk_hs('sh_v')} AS hs_v
+                FROM sh2),
+        {_DK_PC_CTE},
+        sig2 AS MATERIALIZED (SELECT doc_id, sh_o, sh_v, {_dk_sig('hs_o')} AS sig_o,
+                        {_dk_sig('hs_v')} AS sig_v
+                 FROM hs2, pc),
+        bk2 AS MATERIALIZED (SELECT doc_id, sh_o, sh_v, {_dk_bands('sig_o')} AS bk_o,
                        {_dk_bands('sig_v')} AS bk_v
                 FROM sig2),
         j AS (SELECT round(CAST(len(list_intersect(sh_o, sh_v)) AS DOUBLE)

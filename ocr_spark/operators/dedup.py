@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, functions as F
 SHINGLE = 5
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition a few-file scan up to the cluster parallelism before
+    a CPU-heavy signature pass (the sketch computations are
+    compute-bound interpreted expressions; a single-file test table
+    would otherwise pin them to one core). inputFiles() is a
+    metadata-only probe — non-file sources are left untouched."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    if files and len(files) < par:
+        return docs.repartition(par)
+    return docs
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", F.md5(F.lower("text")).alias("fp"))
@@ -132,7 +146,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     entirely expression-level. The long form IS the banded-join
     shuffle layout (and sidesteps signed 64-bit overflow in both
     engines: every chunk is in [0, 65535])."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.posexplode(F.expr(_sim64_chunks_sql())).alias("band", "chunk")
     ).select("doc_id", F.col("band").cast("int").alias("band"), "chunk")
 
@@ -147,7 +161,10 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     band-long layout (re-join per band + sum of per-chunk popcounts),
     so the fingerprint expression is evaluated exactly once per doc.
     Returns (doc_a, doc_b, hamming)."""
-    sim = simhash64(docs)
+    # lazy checkpoint: the fingerprint relation is read by 4 plan arms
+    # (both join sides + both popcount rejoins); materializing it once
+    # is the "write the sketch table" pattern of a real pipeline
+    sim = simhash64(docs).localCheckpoint(eager=False)
     a, b = sim.alias("a"), sim.alias("b")
     cand = (
         a.join(
@@ -196,32 +213,59 @@ def _shingles_sql(words: str) -> str:
     )
 
 
+# affine permutation family over the 2^31-1 prime field: perm_i(x) =
+# (a_i*h1(x) + b_i*h2(x) + c_i) mod P with h1/h2 = two 28-bit halves of
+# ONE md5 per shingle. Constants are seeded once and inlined as
+# literals into both the Spark expression and the DuckDB oracle.
+_PERM_P = 2147483647
+_perm_rng = __import__("random").Random(0x5EED)
+PERM_A = [_perm_rng.randrange(1, 1 << 30) for _ in range(N_PERMS)]
+PERM_B = [_perm_rng.randrange(1, 1 << 30) for _ in range(N_PERMS)]
+PERM_C = [_perm_rng.randrange(0, _PERM_P) for _ in range(N_PERMS)]
+
+
 def _perm_values_sql(sh: str) -> str:
-    """64 permutation hashes of one shingle from 16 md5 evaluations:
-    md5(shingle '#' k) yields 32 hex chars = four 32-bit values. At
-    production scale the same shape runs on xxhash64 with a seed array
-    (one hash per 8 perms); md5 is used here because the DuckDB oracle
-    must reproduce the values bit-for-bit.
+    """64 permutation hashes of one shingle from ONE md5 evaluation:
+    the md5's two 28-bit hex halves feed 64 affine maps over GF(P),
+    P = 2^31-1 (products stay < 2^58, so bigint arithmetic is exact
+    and the DuckDB oracle reproduces every value). The constant arrays
+    are read from the bound variable K of the enclosing let-struct
+    (see _band_keys_sql) — NOT re-created per shingle.
 
     Expression-shape note (this matters enormously for throughput):
     higher-order-function lambdas are interpreted, and a non-trivial
     expression referenced inside a lambda body is RE-EVALUATED on
-    every lambda iteration. The inner ``transform(array(md5(..)), h ->
-    ...)`` is a let-binding — the md5 lands in a bound variable h, so
-    extracting its four chunks reads an already-computed value instead
-    of hashing four times."""
+    every lambda iteration. The ``transform(array(...), s -> ...)``
+    wrapper is a let-binding — md5/conv land in a bound struct, so
+    the 64 affine maps read already-computed integers."""
     return (
-        f"flatten(transform(sequence(0, {N_PERMS // 4 - 1}), k -> "
-        f"flatten(transform(array(md5(concat({sh}, '#', cast(k as string)))), "
-        f"h -> transform(sequence(0, 3), c -> "
-        f"cast(conv(substr(h, c * 8 + 1, 8), 16, 10) as bigint))))))"
+        f"flatten(transform(array(named_struct("
+        f"'x', cast(conv(substr(md5({sh}), 1, 7), 16, 10) as bigint), "
+        f"'y', cast(conv(substr(md5({sh}), 8, 7), 16, 10) as bigint))), s -> "
+        f"zip_with(zip_with(K.pa, K.pb, "
+        f"(pa, pb) -> pa * s.x + pb * s.y), K.pc, "
+        f"(t, pc) -> pmod(t + pc, {_PERM_P}))))"
+    )
+
+
+def _with_perm_consts(body: str) -> str:
+    """Let-bind the three 64-element constant arrays as struct K ONCE
+    per row (a 64-literal CreateArray inside a per-shingle lambda is
+    re-materialized on every shingle — measured 2x the whole md5
+    cost); ``body`` must yield an array and may reference K.pa/pb/pc."""
+    a = ",".join(str(v) for v in PERM_A)
+    b = ",".join(str(v) for v in PERM_B)
+    c = ",".join(str(v) for v in PERM_C)
+    return (
+        f"flatten(transform(array(named_struct("
+        f"'pa', array({a}), 'pb', array({b}), 'pc', array({c}))), K -> {body}))"
     )
 
 
 def _minhash_sig_sql(words: str) -> str:
     """Elementwise min over shingles -> array<bigint> of 64 signature
     values (one aggregate pass, no UDF)."""
-    return (
+    return _with_perm_consts(
         f"aggregate({_shingles_sql(words)}, "
         f"array_repeat(cast({_PERM_SENTINEL} as bigint), {N_PERMS}), "
         f"(acc, sh) -> zip_with(acc, {_perm_values_sql('sh')}, "
@@ -240,7 +284,7 @@ def _band_keys_sql(words: str) -> str:
     16x blow-up of the whole 64-perm aggregate. The finish lambda
     receives the accumulator as a BOUND value, so the 16 band slices
     read it for free."""
-    return (
+    return _with_perm_consts(
         f"aggregate({_shingles_sql(words)}, "
         f"array_repeat(cast({_PERM_SENTINEL} as bigint), {N_PERMS}), "
         f"(acc, sh) -> zip_with(acc, {_perm_values_sql('sh')}, "
@@ -258,7 +302,7 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     makes the candidate join scale to 10^12 docs: the self-join never
     touches text, only this relation."""
     w = F.split("text", " ")
-    d = docs.select("doc_id", w.alias("w")).where(F.size("w") >= SHINGLE)
+    d = _spread(docs).select("doc_id", w.alias("w")).where(F.size("w") >= SHINGLE)
     return d.select(
         "doc_id", F.posexplode(F.expr(_band_keys_sql("w"))).alias("band", "band_key")
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_key")
@@ -276,7 +320,11 @@ def minhash_banded_pairs(
     larger than this are dropped here (their members are by definition
     exact-ish duplicates and are collapsed by the cheaper exact md5
     pass instead). None = no cap (the oracle-checked configuration)."""
-    keys = minhash_band_keys(docs)
+    # lazily materialize the (tiny) sketch relation so the self-join's
+    # two sides — and the optional bucket-size pass — read it once
+    # instead of re-running the signature aggregate per reference; the
+    # 100 TB twin is writing the sketch table once and joining on it
+    keys = minhash_band_keys(docs).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = keys.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
         keys = keys.join(
@@ -312,7 +360,7 @@ def minhash_banded_recall(docs: DataFrame) -> DataFrame:
     (j_bucket, n_pairs, n_caught, recall)."""
     w = F.split("text", " ")
     d = (
-        docs.where(F.col("doc_id") % 5 == 0)
+        _spread(docs).where(F.col("doc_id") % 5 == 0)
         .select("doc_id", w.alias("w"))
         .where(F.size("w") >= 25)
         .select(

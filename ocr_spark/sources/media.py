@@ -183,5 +183,9 @@ def box_probs(page: Page, bbox, weights: dict | None = None) -> np.ndarray:
     )
     rng = np.random.default_rng(seed)
     img = render_label(label, seed=seed)
+    if weights.get("preclean"):  # F19 optional pre-clean stage (off by default)
+        from ocr_spark.functions.preclean import apply_preclean  # noqa: PLC0415
+
+        img = apply_preclean(img, weights["preclean"])
     probs = forward_probs(img, weights)
     return _inject_corruption(probs, label, rng)
