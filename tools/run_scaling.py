@@ -252,8 +252,8 @@ first partitions — an ingest order correlated with media density).
 | forced split@16 | random | auto(off) | fixed 16 | {r_split16['median_wall_s']} |
 | adversarial, no salt | sorted | off | auto | {r_srt_no['median_wall_s']} |
 | adversarial, salted | sorted | on | auto | {r_srt_sa['median_wall_s']} |
-| +16k-span mega-doc, no split | mega | off | off | {r_meg_no['median_wall_s']} |
-| +16k-span mega-doc, auto | mega | off | auto(splits mega only) | {r_meg_au['median_wall_s']} |
+| +4k-span mega-doc, no split | mega | off | off | {r_meg_no['median_wall_s']} |
+| +4k-span mega-doc, auto | mega | off | auto(splits mega only) | {r_meg_au['median_wall_s']} |
 
 Reading:
 - **Salting policy** (extract(salt='auto')): on an already
@@ -265,12 +265,11 @@ Reading:
   bucket the Iceberg table by doc_id (random layout for free) and
   keep salting as the guard for un-bucketed/append-ordered inputs.
 - **Cost-based splitting** (extract(heavy_threshold='auto')): a
-  document splits into per-span work units only when its media count
-  exceeds 1/4 of a slot's average work. On this corpus nothing
-  qualifies, and forcing the old fixed split@16 costs the difference
-  shown above (extra scan + shuffle + window for no tail benefit).
-  The mega-doc rows are the regime where splitting IS the win: one
-  16k-span document (~30 core-seconds) pins a single task without the
+  document splits into per-span work units when its media count
+  exceeds HEAVY_SKEW_RATIO (8x) times the corpus mean (stats from
+  table manifests / a bounded sample — never a full pre-scan). The
+  mega-doc rows are the regime where splitting IS the win: one
+  4k-span document of real recognition compute pins a single task without the
   split — wall {round(r_meg_no['median_wall_s'] / r_meg_au['median_wall_s'], 2)}x
   the auto-split plan, and the gap equals the whole mega-doc cost no
   matter how many executors exist. The auto rule fires exactly there.
