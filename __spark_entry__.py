@@ -96,6 +96,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         pairs=dedup.minhash_banded_pairs(_t(s, d, "documents")),
     ),
     "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
+    "jaccard_banded_pairs": lambda s, d: dedup.jaccard_banded_pairs(
+        _t(s, d, "documents")
+    ),
     "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
     "ivf_assign": lambda s, d: similarity.ivf_assign(_t(s, d, "embeddings")),
     "knn_cosine_ivf": lambda s, d: similarity.knn_cosine_ivf(_t(s, d, "embeddings")),
@@ -577,6 +580,19 @@ ORACLES: dict[str, str] = {
           FROM long a JOIN long b
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         WHERE hamming <= 3
+    """,
+    "jaccard_banded_pairs": f"""
+        WITH {_DK_BAND_KEYS_CTE},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                  JOIN sh sb ON sb.doc_id = doc_b
     """,
     "dup_clusters_banded": f"""
         WITH RECURSIVE {_DK_BAND_KEYS_CTE},

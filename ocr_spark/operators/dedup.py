@@ -412,16 +412,22 @@ def minhash_banded_recall(docs: DataFrame) -> DataFrame:
 # -- exact n-gram Jaccard verification ------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
     """Exact word-shingle Jaccard for MinHash candidate pairs.
 
-    Stage 2 of the dedup funnel: the (cheap, recall-oriented) minhash
+    Stage 2 of the dedup funnel: the (cheap, recall-oriented) LSH
     bucket join proposes candidates; this verifies each with the exact
     set overlap. Only candidate doc_ids rejoin the shingle relation, so
     the expensive sets are materialized for the candidate subset only —
     at scale that is the difference between |corpus|^2 and |candidates|.
     Jaccard is rounded to 6 decimals (order-independent across engines).
-    """
+
+    ``candidates``: (doc_a, doc_b) relation; default is the single-band
+    ``near_dup_pairs`` (the oracle-locked demo). Pass
+    ``minhash_banded_pairs(docs)`` for the production funnel
+    (``jaccard_banded_pairs`` does exactly that)."""
     w = F.split("text", " ")
     shingles = F.expr(
         f"array_distinct(transform(sequence(0, size(w) - {SHINGLE}), "
@@ -432,7 +438,9 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
         .where(F.size("w") >= SHINGLE)
         .select("doc_id", shingles.alias("sh"))
     )
-    cand = near_dup_pairs(docs).select("doc_a", "doc_b")
+    if candidates is None:
+        candidates = near_dup_pairs(docs)
+    cand = candidates.select("doc_a", "doc_b")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.round(
@@ -445,6 +453,14 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+def jaccard_banded_pairs(docs: DataFrame) -> DataFrame:
+    """The full production dedup funnel: banded LSH candidates
+    (recall-oriented, 1-(1-J^4)^16 collision curve) verified with the
+    exact shingle Jaccard — the precision stage that turns candidate
+    pairs into dedup decisions. Returns (doc_a, doc_b, jaccard)."""
+    return jaccard_pairs(docs, candidates=minhash_banded_pairs(docs))
 
 
 # -- duplicate clusters (connected components) -----------------------------
