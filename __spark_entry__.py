@@ -316,16 +316,17 @@ _DK_EVAL_CTE = """
               SELECT doc_id, 99, 700, 500, 800, 530, '7+7=14', 'right'
               FROM documents WHERE doc_id % 7 = 0),
         scored AS (
+          -- LEFT join: gold boxes on pred-less docs stay (iou NULL -> 0)
           SELECT g.doc_id, g.box_id, p.pred_id,
-                 round(CAST(greatest(least(g.r, p.r) - greatest(g.l, p.l), 0)
+                 coalesce(round(CAST(greatest(least(g.r, p.r) - greatest(g.l, p.l), 0)
                           * greatest(least(g.btm, p.btm) - greatest(g.t, p.t), 0)
                         AS DOUBLE)
                        / ((g.r - g.l) * (g.btm - g.t)
                           + (p.r - p.l) * (p.btm - p.t)
                           - greatest(least(g.r, p.r) - greatest(g.l, p.l), 0)
                             * greatest(least(g.btm, p.btm) - greatest(g.t, p.t), 0)),
-                       6) AS iou
-          FROM g JOIN p ON g.doc_id = p.doc_id),
+                       6), 0.0) AS iou
+          FROM g LEFT JOIN p ON g.doc_id = p.doc_id),
         best AS (
           SELECT doc_id, box_id, pred_id, iou,
                  row_number() OVER (PARTITION BY doc_id, box_id

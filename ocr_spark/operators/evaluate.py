@@ -165,13 +165,20 @@ def iou_argmax_pairs(gold: DataFrame, pred: DataFrame) -> DataFrame:
     """J5: per gold box, the argmax-IoU prediction (strict-first-max =
     min pred_id among ties, reference evaluate_data.py:120-139),
     accepted when IoU > 0.5 else pair_id = -1. Returns
-    (doc_id, box_id, pair_id, iou)."""
+    (doc_id, box_id, pair_id, iou).
+
+    Gold is LEFT-joined to pred: a document with zero prediction rows
+    (total detection failure on a page) still contributes every one of
+    its gold boxes as unmatched (pair_id=-1, iou=0.0) — the reference
+    counts every gold box in all_num (evaluate_data.py
+    get_pair/statistic_data), so recall must be penalized, not have its
+    denominator shrunk."""
     g, p = gold.alias("g"), pred.alias("p")
-    scored = g.join(p, F.col("g.doc_id") == F.col("p.doc_id")).select(
+    scored = g.join(p, F.col("g.doc_id") == F.col("p.doc_id"), "left").select(
         F.col("g.doc_id").alias("doc_id"),
         F.col("g.box_id").alias("box_id"),
         F.col("p.pred_id").alias("pred_id"),
-        _iou().alias("iou"),
+        F.coalesce(_iou(), F.lit(0.0)).alias("iou"),
     )
     w = Window.partitionBy("doc_id", "box_id").orderBy(
         F.col("iou").desc(), F.col("pred_id").asc()

@@ -113,6 +113,33 @@ def test_matched_only_denominators(spark):
     assert m["char_acc"] == 1.0
 
 
+def test_predless_doc_counts_in_recall(spark):
+    """A document with ZERO prediction rows (total detection failure on
+    a page) must still contribute its gold boxes as unmatched — gold is
+    LEFT-joined to pred (ADVICE r2: the old inner join silently shrank
+    n_boxes and inflated recall). Reference evaluate_data.py
+    get_pair/statistic_data counts every gold box in all_num."""
+    gold = _df(
+        spark,
+        [
+            (1, 0, 0, 0, 100, 40, "=", "1+1=2", "right"),
+            (2, 0, 0, 0, 100, 40, "=", "2+2=4", "right"),   # doc 2: no preds
+            (2, 1, 200, 0, 300, 40, "()", "1+()=3", "right"),
+        ],
+        GOLD_SCHEMA,
+    )
+    pred = _df(spark, [(1, 0, 0, 0, 100, 40, "1+1=2", "right")], PRED_SCHEMA)
+    pairs = {(r["doc_id"], r["box_id"]): r for r in
+             ev.iou_argmax_pairs(gold, pred).collect()}
+    assert len(pairs) == 3
+    assert pairs[(2, 0)]["pair_id"] == -1 and pairs[(2, 0)]["iou"] == 0.0
+    assert pairs[(2, 1)]["pair_id"] == -1 and pairs[(2, 1)]["iou"] == 0.0
+    m = ev.evaluate_tables(gold, pred).first()
+    assert m["n_boxes"] == 3 and m["n_matched"] == 1
+    assert m["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    assert m["equation_acc"] == 1.0  # matched-only denominator unchanged
+
+
 def test_synthesized_benchmark_shape(spark, docs):
     """The derived benchmark exercises all three classes, both accept
     outcomes, and the spurious-box path; metrics stay in [0, 1]."""
