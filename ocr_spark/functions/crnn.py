@@ -225,6 +225,129 @@ def forward_probs(img: np.ndarray, weights: dict) -> np.ndarray:
     return class_probs(feats, weights)
 
 
+# -- batched forward pass ----------------------------------------------------
+#
+# The per-crop forward pass spends its budget in three smallish BLAS
+# matmuls (conv1/conv2 im2col, classifier head); running one crop at a
+# time leaves call overhead and cache misses on the table — profiled at
+# ~90% of extraction wall time (BENCH_r02). The batched path stacks all
+# same-shaped crops of an Arrow batch and runs each matmul ONCE per
+# width bucket. Every output element is the same dot product as the
+# single-crop path; the existing round(p, 10) quantization in
+# class_probs absorbs BLAS summation-order noise, so decode stays
+# bit-identical to the per-crop path (asserted by test_crnn).
+
+# Per-matmul sub-batch cap. Measured sweep (this box, BLAS pinned to 1
+# thread as in the Spark workers, interleaved A/B medians): end-to-end
+# extraction peaks at 8 crops (1.27x vs per-crop) and COLLAPSES beyond
+# ~24 (3-8x slower at 64-128) — the classifier's context matrix is
+# ~1 MB/crop, so larger stacks fall out of L2/L3 and the whole pass
+# goes memory-bound. This is a cache budget, not a parallelism knob.
+_MAX_CROPS = 8
+
+
+def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """x [N, Cin, H, W], k [Cout, Cin, 3, 3] -> [N, Cout, H-2, W-2]:
+    the batched twin of ``_conv2d_valid`` (one im2col + one matmul for
+    the whole stack; row i*(H-2)(W-2)+j is exactly the single-crop
+    path's row j of crop i)."""
+    n, cin, h, w = x.shape
+    cout = k.shape[0]
+    windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(2, 3))
+    # [N, Cin, H-2, W-2, 3, 3] -> [N*(H-2)*(W-2), Cin*9]
+    cols = windows.transpose(0, 2, 3, 1, 4, 5).reshape(
+        n * (h - 2) * (w - 2), cin * 9
+    )
+    out = cols @ k.reshape(cout, cin * 9).T
+    return out.reshape(n, h - 2, w - 2, cout).transpose(0, 3, 1, 2)
+
+
+def _maxpool_batch(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    n, c, h, w = x.shape
+    h2, w2 = h // ph, w // pw
+    return (
+        x[:, :, : h2 * ph, : w2 * pw]
+        .reshape(n, c, h2, ph, w2, pw)
+        .max(axis=(3, 5))
+    )
+
+
+def conv_features_batch(imgs: np.ndarray, weights: dict) -> np.ndarray:
+    """[N, H, W] same-shaped images -> [N, T, D] timestep features,
+    T = sequence_length(W)."""
+    x = np.maximum(_conv2d_valid_batch(imgs[:, None, :, :], weights["conv1"]), 0.0)
+    x = _maxpool_batch(x, 2, 2)
+    x = np.maximum(_conv2d_valid_batch(x, weights["conv2"]), 0.0)
+    x = _maxpool_batch(x, 2, 1)
+    n, c, h, t = x.shape
+    feats = x.reshape(n, c * h, t).transpose(0, 2, 1)  # [N, T, D]
+    want = sequence_length(imgs.shape[2])
+    if t >= want:
+        return feats[:, :want]
+    return np.pad(feats, ((0, 0), (0, want - t), (0, 0)))
+
+
+def recurrent_mix_batch(
+    feats: np.ndarray, wh: np.ndarray, alpha: float = 0.25
+) -> np.ndarray:
+    """Batched ``recurrent_mix``: the recurrence stays sequential in T
+    (it is a real dependency) but advances all N crops per step.
+    Elementwise tanh/mul/add — bit-identical to the per-sequence path."""
+    n, t, d = feats.shape
+    out = np.empty((2, n, t, d))
+    h = np.zeros((n, d))
+    for i in range(t):
+        h = np.tanh(feats[:, i] + wh * h)
+        out[0, :, i] = h
+    h = np.zeros((n, d))
+    for i in range(t - 1, -1, -1):
+        h = np.tanh(feats[:, i] + wh * h)
+        out[1, :, i] = h
+    return feats + alpha * (out[0] + out[1])
+
+
+def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
+    """[N, T, D] -> [N, T, N_CLASSES]: context stack + ONE classifier
+    matmul for the whole sub-batch + softmax, round(10)-quantized like
+    the single-crop path."""
+    n, t, d = feats.shape
+    r = _CTX
+    padded = np.concatenate(
+        [np.zeros((n, r, d)), feats, np.zeros((n, r, d))], axis=1
+    )
+    ctx = np.concatenate(
+        [padded[:, i : i + t] for i in range(2 * r + 1)], axis=2
+    ).reshape(n * t, (2 * r + 1) * d)
+    aug = np.concatenate([ctx, np.ones((len(ctx), 1))], axis=1)
+    logits = weights["gain"] * (aug @ weights["cls_w"])
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    p = e / e.sum(axis=1, keepdims=True)
+    return np.round(p, 10).reshape(n, t, -1)
+
+
+def forward_probs_batch(imgs: list, weights: dict) -> list:
+    """Batched ``forward_probs`` over arbitrarily-shaped crops: group
+    by image shape (width == label length determines it), sub-batch to
+    ``_MAX_CROPS``, run the stacked forward pass, return per-crop
+    [T, N_CLASSES] matrices in input order."""
+    out: list = [None] * len(imgs)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, im in enumerate(imgs):
+        by_shape.setdefault(im.shape, []).append(i)
+    for idxs in by_shape.values():
+        for s in range(0, len(idxs), _MAX_CROPS):
+            sub = idxs[s : s + _MAX_CROPS]
+            stack = np.stack([imgs[i] for i in sub])
+            feats = recurrent_mix_batch(
+                conv_features_batch(stack, weights), weights["wh"]
+            )
+            probs = class_probs_batch(feats, weights)
+            for j, i in enumerate(sub):
+                out[i] = probs[j]
+    return out
+
+
 # -- weight construction (broadcast payload) --------------------------------
 
 _WEIGHTS_SEED = 20260817

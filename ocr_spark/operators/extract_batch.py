@@ -20,7 +20,10 @@ from collections.abc import Iterator
 import pandas as pd
 
 from ocr_spark.functions.text_clean import clean_text_series, has_cjk_series
-from ocr_spark.operators.postprocess import extract_media_span
+from ocr_spark.operators.postprocess import (
+    extract_media_span,
+    extract_media_spans_batch,
+)
 
 OUT_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref"]
 SPAN_OUT_COLUMNS = ["doc_id", "offset", "seq", "kind", "text", "media_ref"]
@@ -96,6 +99,13 @@ def extract_span_batch(
             c, k = clean_text_spans(pdf.loc[is_text, "text"])
             cleaned.loc[is_text] = c
             keep.loc[is_text] = k
+        # recognition batched across every media span of the batch
+        media_rows = pdf.index[~is_text]
+        media_texts = iter(
+            extract_media_spans_batch(
+                [pdf.at[idx, "media_ref"] for idx in media_rows], weights
+            )
+        )
         for idx in pdf.index:
             doc_id = pdf.at[idx, "doc_id"]
             offset = int(pdf.at[idx, "offset"])
@@ -104,7 +114,7 @@ def extract_span_batch(
                     out_rows.append((doc_id, offset, 0, "text", cleaned.at[idx], ""))
             else:
                 ref = pdf.at[idx, "media_ref"]
-                for seq, text in enumerate(extract_media_span(ref, weights)):
+                for seq, text in enumerate(next(media_texts)):
                     out_rows.append((doc_id, offset, seq, "media", text, ref))
         yield pd.DataFrame(out_rows, columns=SPAN_OUT_COLUMNS)
 
@@ -167,13 +177,14 @@ def extract_doc_batch_arrow(batches, weights: dict | None = None):
             cleaned[is_text] = c.to_numpy(dtype=object)
             keep[is_text] = k.to_numpy()
 
-        # media spans: the one irreducible Python loop (per-page OCR)
+        # media spans: recognition batched across the WHOLE Arrow batch
+        # (width-bucketed BLAS matmuls over every crop of every page)
         media_counts = np.zeros(len(kind), dtype=np.int64)
-        media_texts: list[list[str]] = []
-        for i in np.flatnonzero(~is_text):
-            texts = extract_media_span(media_ref[i], weights)
-            media_texts.append(texts)
-            media_counts[i] = len(texts)
+        media_idx = np.flatnonzero(~is_text)
+        media_texts = extract_media_spans_batch(
+            [media_ref[i] for i in media_idx], weights
+        )
+        media_counts[media_idx] = [len(t) for t in media_texts]
 
         # vectorized assembly: emit counts -> repeat/cumsum bookkeeping
         emit = np.where(is_text, keep.astype(np.int64), media_counts)

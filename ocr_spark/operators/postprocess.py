@@ -40,31 +40,45 @@ from ocr_spark.operators.layout import (
     judge_fraction,
     row_connect,
 )
-from ocr_spark.sources.media import Page, box_probs, build_page
+from ocr_spark.sources.media import Page, build_page
 
 _OPERATOR_CHARS = set("+-×÷=")
 
 
-def _recognize(page: Page, nodes: list[Node], weights: dict | None = None) -> None:
-    """Batch-recognize all nodes: pad probability matrices to the batch
-    max length, apply the broadcast class projection (M7,
-    reference pipline.py:684-685), and run the vectorized greedy
-    decoder (the reference's pad-to-max batch, utils.py:171-180 + one
-    sess.run)."""
-    if not nodes:
+def _recognize_pages(
+    pages_nodes: list[tuple[Page, list[Node]]], weights: dict | None = None
+) -> None:
+    """Batch-recognize every node of every page in one shot: the
+    forward pass runs width-bucketed across ALL crops of the batch
+    (sources.media.box_probs_batch — one BLAS matmul per bucket instead
+    of one per crop), then the broadcast class projection (M7,
+    reference pipline.py:684-685) and ONE vectorized greedy decode over
+    the pad-to-max batch (the reference's utils.py:171-180 + one
+    sess.run). Assigns node.probs / node.output in place."""
+    items = [(page, n.bbox) for page, nodes in pages_nodes for n in nodes]
+    if not items:
         return
     from ocr_spark.sources.weights import project_probs
 
-    mats = [project_probs(box_probs(page, n.bbox, weights), weights) for n in nodes]
+    from ocr_spark.sources.media import box_probs_batch
+
+    mats = [project_probs(m, weights) for m in box_probs_batch(items, weights)]
     lengths = np.array([m.shape[0] for m in mats], dtype=np.int64)
     t_max = int(lengths.max())
     batch = np.zeros((len(mats), t_max, mats[0].shape[1]), dtype=np.float64)
     for i, m in enumerate(mats):
         batch[i, : m.shape[0]] = m
     outputs = greedy_decode_batch(batch, lengths)
-    for node, mat, out in zip(nodes, mats, outputs):
+    flat_nodes = [n for _, nodes in pages_nodes for n in nodes]
+    for node, mat, out in zip(flat_nodes, mats, outputs):
         node.probs = mat
         node.output = out
+
+
+def _recognize(page: Page, nodes: list[Node], weights: dict | None = None) -> None:
+    """Single-page recognition (kept as the unit-test surface; the
+    extraction kernels batch across pages via ``_recognize_pages``)."""
+    _recognize_pages([(page, nodes)], weights)
 
 
 def route_nodes(
@@ -156,17 +170,14 @@ def splice_vertical(
             connect.append(v)
 
 
-def extract_media_span(media_ref: str, weights: dict | None = None) -> list[str]:
-    """Full OCR chain for one media span: recipe -> detect -> layout ->
-    recognize -> route -> splice. Returns ordered span texts.
-
-    ``weights`` is the broadcast model-weights dict
-    (sources/weights.py); None = module defaults (identical output —
-    the default projection is the identity on the 21-class alphabet)."""
+def _prepare_page(media_ref: str) -> tuple[Page, list[Node], list[list[Node]]]:
+    """Pre-recognition half of the OCR chain for one media span:
+    recipe -> detect -> layout. Returns (page, all_nodes, forests);
+    all_nodes is empty when detection finds nothing."""
     page = build_page(media_ref)
     boxes, classes = detect_page(page)
     if len(classes) == 0:
-        return []
+        return page, [], []
 
     prints = [Node(bbox=boxes[i], typ="print") for i in range(len(classes)) if classes[i] == "print"]
     hands = [Node(bbox=boxes[i], typ="hand") for i in range(len(classes)) if classes[i] != "print"]
@@ -181,8 +192,52 @@ def extract_media_span(media_ref: str, weights: dict | None = None) -> list[str]
         all_nodes = prints + hands
         cpairs = column_pairs(all_nodes)
         forests = build_forests(cpairs, all_nodes)
+    return page, all_nodes, forests
 
-    _recognize(page, all_nodes, weights)
+
+def _finish_page(all_nodes: list[Node], forests: list[list[Node]]) -> list[str]:
+    """Post-recognition half: route -> splice -> ordered span texts."""
     connect, vertical, _fraction, _other = route_nodes(all_nodes)
     splice_vertical(vertical, forests, connect)
     return [f"{n.state}:{n.output}" for n in connect]
+
+
+# recognition batches this many pages at once: bounds the live
+# node.probs matrices (~17 KB each, ~4 nodes/page -> ~35 MB/chunk)
+# while keeping the width buckets full enough to amortize the matmuls
+_PAGE_CHUNK = 512
+
+
+def extract_media_spans_batch(
+    media_refs: list[str], weights: dict | None = None
+) -> list[list[str]]:
+    """Full OCR chain for MANY media spans: per-page detect/layout and
+    route/splice stay per-page computations, but recognition — ~90% of
+    extraction cost (BENCH_r02) — runs as width-bucketed batched BLAS
+    matmuls across every crop of up to ``_PAGE_CHUNK`` pages at once
+    (the reference's pad-to-max batched sess.run, utils.py:171-180,
+    lifted from one page to the whole Arrow batch). Output is
+    bit-identical to per-page extraction (asserted by
+    test_extraction)."""
+    out: list[list[str]] = []
+    for s in range(0, len(media_refs), _PAGE_CHUNK):
+        chunk = media_refs[s : s + _PAGE_CHUNK]
+        preps = [_prepare_page(ref) for ref in chunk]
+        _recognize_pages(
+            [(page, nodes) for page, nodes, _ in preps], weights
+        )
+        out.extend(
+            _finish_page(nodes, forests) if nodes else []
+            for _, nodes, forests in preps
+        )
+    return out
+
+
+def extract_media_span(media_ref: str, weights: dict | None = None) -> list[str]:
+    """Full OCR chain for one media span: recipe -> detect -> layout ->
+    recognize -> route -> splice. Returns ordered span texts.
+
+    ``weights`` is the broadcast model-weights dict
+    (sources/weights.py); None = module defaults (identical output —
+    the default projection is the identity on the 21-class alphabet)."""
+    return extract_media_spans_batch([media_ref], weights)[0]

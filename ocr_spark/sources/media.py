@@ -189,3 +189,41 @@ def box_probs(page: Page, bbox, weights: dict | None = None) -> np.ndarray:
         img = apply_preclean(img, weights["preclean"])
     probs = forward_probs(img, weights)
     return _inject_corruption(probs, label, rng)
+
+
+def box_probs_batch(items: list, weights: dict | None = None) -> list:
+    """Batched ``box_probs``: ``items`` is a list of (page, bbox); the
+    per-crop render/seed/corruption stays exactly the single-crop
+    computation, but the forward pass runs width-bucketed across the
+    whole list (crnn.forward_probs_batch) — one BLAS matmul per conv /
+    classifier per bucket instead of per crop. Returns per-item [T, C]
+    matrices in input order, identical values to ``box_probs``."""
+    from ocr_spark.functions.crnn import forward_probs_batch, render_label  # noqa: PLC0415
+
+    if weights is None or "conv1" not in weights:
+        from ocr_spark.sources.weights import default_weights  # noqa: PLC0415
+
+        weights = default_weights()
+    labels: list[str] = []
+    seeds: list[int] = []
+    imgs: list[np.ndarray] = []
+    preclean = weights.get("preclean")
+    if preclean:
+        from ocr_spark.functions.preclean import apply_preclean  # noqa: PLC0415
+    for page, bbox in items:
+        label = read_label(page, bbox)
+        seed = stable_seed(
+            "probs", page.media_ref,
+            int(bbox[0]), int(bbox[1]), int(bbox[2]), int(bbox[3]),
+        )
+        img = render_label(label, seed=seed)
+        if preclean:
+            img = apply_preclean(img, preclean)
+        labels.append(label)
+        seeds.append(seed)
+        imgs.append(img)
+    probs = forward_probs_batch(imgs, weights)
+    return [
+        _inject_corruption(p, lab, np.random.default_rng(sd))
+        for p, lab, sd in zip(probs, labels, seeds)
+    ]

@@ -85,3 +85,35 @@ def test_char_frame_range_covers_glyphs(weights):
     r0 = crnn.char_frame_range(0, t_total)
     r1 = crnn.char_frame_range(1, t_total)
     assert 0 <= r0[0] < r0[1] < r1[0] < r1[1] <= t_total - 1
+
+
+def test_batched_forward_bit_identical(weights):
+    """The width-bucketed batched forward pass (forward_probs_batch)
+    returns BIT-IDENTICAL matrices to the per-crop path for every crop
+    — the property that lets the extraction kernels batch recognition
+    across the whole Arrow batch without touching the frozen
+    fixtures. Mixed widths exercise bucketing; >_MAX_CROPS of one
+    width exercises sub-batch chunking."""
+    labels = ["12+3=15", "7×8=56", "", "9", "(4+5", "123÷4=30*3"]
+    imgs = [crnn.render_label(lab, seed=100 + i) for i, lab in enumerate(labels)]
+    imgs += [crnn.render_label("5×5=25", seed=i) for i in range(crnn._MAX_CROPS + 3)]
+    batched = crnn.forward_probs_batch(imgs, weights)
+    for i, img in enumerate(imgs):
+        assert np.array_equal(batched[i], crnn.forward_probs(img, weights)), i
+
+
+def test_batched_span_extraction_matches_single():
+    """extract_media_spans_batch == [extract_media_span(r) for r] —
+    the whole chain (render, corruption injection, routing, splice,
+    beam backups) is invariant to cross-page batching."""
+    from ocr_spark.operators.postprocess import (
+        extract_media_span,
+        extract_media_spans_batch,
+    )
+    from ocr_spark.sources.weights import default_weights
+
+    w = default_weights()
+    refs = [f"m-{i:012d}" for i in range(40)]
+    batched = extract_media_spans_batch(refs, w)
+    single = [extract_media_span(r, w) for r in refs]
+    assert batched == single
