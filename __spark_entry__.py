@@ -57,6 +57,27 @@ def _q_extract_heavy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- relational family (DuckDB-checked) -------------------------------------
 
+# web-scale boilerplate simulation: every 20th document collapses to
+# one template text, forming the LSH mega-bucket that
+# `banded_pairs_bucket_cap` proves the max_bucket guard drops (its
+# members are exact duplicates, caught by the cheaper md5 pass)
+_BOILERPLATE = (
+    "lorem ipsum boilerplate navigation footer copyright terms "
+    "privacy contact about home sitemap login register search"
+)
+
+
+def _boilerplate_docs(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.lit(_BOILERPLATE)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_extract_spans": _q_extract,
     "ocr_extract_heavy_path": _q_extract_heavy_path,
@@ -94,6 +115,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents"),
         max_iters=30,
         pairs=dedup.minhash_banded_pairs(_t(s, d, "documents")),
+    ),
+    "dedup_keep_list": lambda s, d: dedup.dedup_keep_list(_t(s, d, "documents")),
+    "dedup_summary": lambda s, d: dedup.dedup_summary(_t(s, d, "documents")),
+    "dedup_corpus": lambda s, d: dedup.dedupped_corpus(
+        _t(s, d, "documents")
+    ).select("doc_id", "source", "n_chars"),
+    "banded_pairs_bucket_cap": lambda s, d: dedup.minhash_banded_pairs(
+        _boilerplate_docs(_t(s, d, "documents")), max_bucket=20
     ),
     "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "jaccard_banded_pairs": lambda s, d: dedup.jaccard_banded_pairs(
@@ -338,6 +367,40 @@ _DK_EVAL_CTE = """
                    AS pair_id,
                  iou
           FROM best WHERE rn = 1)
+"""
+
+# connected components over the single-minhash candidate graph + the
+# per-document keep decision (mirrors dedup.dup_clusters /
+# dedup_keep_list): bounded label propagation via a recursive CTE,
+# keeper = min reachable doc_id, singletons keep themselves
+_DK_KEEP_CTE = """
+        sig AS (
+          SELECT doc_id,
+                 list_min(list_transform(generate_series(1, len(words) - 4),
+                          i -> md5(array_to_string(words[i:i+4], ' ')))) AS mh
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+          WHERE len(words) >= 5),
+        cpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON a.mh = b.mh AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a, doc_b FROM cpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM cpairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT e.doc_a, r.label
+          FROM edges e JOIN reach r ON e.doc_b = r.doc_id),
+        clusters AS (
+          SELECT doc_id, min(label) AS cluster_id
+          FROM reach GROUP BY doc_id),
+        kl AS (
+          SELECT d.doc_id,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                 CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                      THEN 1 ELSE 0 END AS INT) AS keep
+          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
 """
 
 ORACLES: dict[str, str] = {
@@ -613,6 +676,44 @@ ORACLES: dict[str, str] = {
           FROM edges e JOIN reach r ON e.doc_b = r.doc_id)
         SELECT doc_id, min(label) AS cluster_id
         FROM reach GROUP BY doc_id
+    """,
+    "dedup_keep_list": f"""
+        WITH RECURSIVE {_DK_KEEP_CTE}
+        SELECT doc_id, cluster_id, keep FROM kl
+    """,
+    "dedup_summary": f"""
+        WITH RECURSIVE {_DK_KEEP_CTE}
+        SELECT count(*) AS n_docs_in,
+               CAST(sum(keep) AS BIGINT) AS n_docs_out,
+               CAST(sum(1 - keep) AS BIGINT) AS n_removed,
+               count(DISTINCT CASE WHEN keep = 0 THEN cluster_id END)
+                 AS n_dup_clusters
+        FROM kl
+    """,
+    "dedup_corpus": f"""
+        WITH RECURSIVE {_DK_KEEP_CTE}
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN kl ON d.doc_id = kl.doc_id
+        WHERE kl.keep = 1
+    """,
+    "banded_pairs_bucket_cap": f"""
+        WITH documents AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 20 = 0 THEN '{_BOILERPLATE}'
+                      ELSE text END AS text
+          FROM main.documents),
+        {_DK_BAND_KEYS_CTE},
+        sizes AS (SELECT band, band_key, count(*) AS n
+                  FROM bk GROUP BY band, band_key),
+        bk2 AS (SELECT bk.doc_id, bk.band, bk.band_key
+                FROM bk JOIN sizes USING (band, band_key)
+                WHERE sizes.n <= 20)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS INT) AS n_bands
+        FROM bk2 a JOIN bk2 b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     """,
     "ngram_jaccard_pairs": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

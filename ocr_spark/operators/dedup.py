@@ -541,3 +541,64 @@ def dup_clusters(
             f"candidate graph's diameter exceeds it"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# -- deduplicated-corpus materialization ------------------------------------
+
+
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 20
+) -> DataFrame:
+    """The keep/drop decision for EVERY document: (doc_id, cluster_id,
+    keep). Docs on the candidate graph get their connected-component
+    label (``dup_clusters``); singletons are their own cluster. The
+    keeper of a cluster is its minimum doc_id — which IS the propagated
+    label, so keep = (cluster_id == doc_id) with no extra aggregation.
+    ``keep`` is int (1/0) so engines hash it identically.
+
+    Scale shape: dup_clusters' label relation holds only docs WITH
+    edges (a small fraction of the corpus); the left join back to the
+    full doc-id relation is a broadcast at typical duplicate rates."""
+    clusters = dup_clusters(docs, max_iters=max_iters, pairs=pairs)
+    cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster_id.alias("cluster_id"),
+            (cluster_id == F.col("doc_id")).cast("int").alias("keep"),
+        )
+    )
+
+
+def dedupped_corpus(
+    docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 20
+) -> DataFrame:
+    """The deduplicated documents table — the step every real pipeline
+    ends with: docs minus non-keeper cluster members, all original
+    columns intact. Implemented as a left-anti join against the (small)
+    drop list, so the corpus is scanned once and never shuffled."""
+    drop = (
+        dedup_keep_list(docs, pairs=pairs, max_iters=max_iters)
+        .where(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def dedup_summary(
+    docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 20
+) -> DataFrame:
+    """One-row accounting of the dedup pass: (n_docs_in, n_docs_out,
+    n_removed, n_dup_clusters) — the numbers an operator checks before
+    swapping the cleaned table in."""
+    keep = dedup_keep_list(docs, pairs=pairs, max_iters=max_iters)
+    return keep.agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum("keep").cast("bigint").alias("n_docs_out"),
+        F.sum(1 - F.col("keep")).cast("bigint").alias("n_removed"),
+        F.count_distinct(
+            F.when(F.col("keep") == 0, F.col("cluster_id"))
+        ).alias("n_dup_clusters"),
+    )

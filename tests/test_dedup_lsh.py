@@ -91,3 +91,51 @@ def test_banded_pairs_have_verified_jaccard_path(spark, docs):
     cand = dedup.minhash_banded_pairs(docs)
     full_band = cand.where(F.col("n_bands") == 16).count()
     assert full_band > 0
+
+
+def test_dedupped_corpus_materialization(spark):
+    """The user-facing end of the funnel: keeper = min doc_id per
+    cluster, non-keepers anti-joined away, summary arithmetic
+    consistent. Two near-dup groups ({1,2,3} chained, {10,11}) plus a
+    singleton 20."""
+    base = " ".join(f"tok{i % 7} word{i}" for i in range(30))
+    other = " ".join(f"aa{i} bb{i * 2} cc{i * 3}" for i in range(30))
+    rows = [
+        (1, base), (2, base), (3, base),
+        (10, other), (11, other),
+        (20, " ".join(f"unique{i} zz{i * 5}" for i in range(30))),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kl = {r["doc_id"]: r for r in dedup.dedup_keep_list(d).collect()}
+    assert len(kl) == 6
+    assert [kl[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [kl[i]["cluster_id"] for i in (10, 11)] == [10, 10]
+    assert kl[20]["cluster_id"] == 20 and kl[20]["keep"] == 1
+    assert [kl[i]["keep"] for i in (1, 2, 3, 10, 11)] == [1, 0, 0, 1, 0]
+
+    kept = {r["doc_id"] for r in dedup.dedupped_corpus(d).collect()}
+    assert kept == {1, 10, 20}
+    # original columns intact
+    assert dedup.dedupped_corpus(d).columns == ["doc_id", "text"]
+
+    s = dedup.dedup_summary(d).first()
+    assert (s["n_docs_in"], s["n_docs_out"], s["n_removed"]) == (6, 3, 3)
+    assert s["n_dup_clusters"] == 2
+
+
+def test_bucket_cap_guard_with_exact_fallback(spark):
+    """The web-scale boilerplate scenario: a 30-doc template
+    mega-bucket is dropped by max_bucket (its quadratic band join never
+    runs) while real near-dup pairs survive, and exact dedup still
+    collapses the template members — the documented division of labor."""
+    boiler = "lorem ipsum boilerplate navigation footer copyright terms privacy"
+    base = " ".join(f"tok{i % 7} word{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, base), (101, base)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_banded_pairs(d, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # mega-bucket gone, real pair kept
+    groups = {r["fp"]: r for r in dedup.exact_dup_groups(d).collect()}
+    boiler_group = [g for g in groups.values() if g["n_docs"] == 30]
+    assert len(boiler_group) == 1 and boiler_group[0]["keeper"] == 0
