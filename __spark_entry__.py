@@ -29,7 +29,7 @@ from ocr_spark.operators import (
     textstats,
     tpch,
 )
-from ocr_spark.plans.extract import corpus_df, extract
+from ocr_spark.plans.extract import corpus_df, extract, extract_invariants
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,6 +53,15 @@ def _q_extract_heavy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same job forced through the span-exploded skew path."""
     n_docs = min(_t(spark, sf_dir, "documents").count(), 1000)
     return extract(corpus_df(spark, n_docs), heavy_threshold=0)
+
+
+def _q_extract_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural invariants of the REAL extraction output — the
+    oracle-checkable face of the fixture-gated family (the oracle pins
+    every violation counter to 0 and the doc count to
+    count(documents))."""
+    n_docs = _t(spark, sf_dir, "documents").count()
+    return extract_invariants(extract(corpus_df(spark, n_docs)), n_docs)
 
 
 # --- relational family (DuckDB-checked) -------------------------------------
@@ -81,6 +90,7 @@ def _boilerplate_docs(docs: DataFrame) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_extract_spans": _q_extract,
     "ocr_extract_heavy_path": _q_extract_heavy_path,
+    "ocr_extract_invariants": _q_extract_invariants,
     "clean_text": lambda s, d: textstats.clean_documents(_t(s, d, "documents")),
     "cjk_boilerplate_filter": lambda s, d: textstats.cjk_filter_counts(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
@@ -404,6 +414,17 @@ _DK_KEEP_CTE = """
 """
 
 ORACLES: dict[str, str] = {
+    "ocr_extract_invariants": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_in,
+               CAST(0 AS BIGINT) AS bad_order_docs,
+               CAST(0 AS BIGINT) AS bad_kind_rows,
+               CAST(0 AS BIGINT) AS media_no_ref_rows,
+               CAST(0 AS BIGINT) AS text_with_ref_rows,
+               CAST(0 AS BIGINT) AS cjk_text_rows,
+               CAST(0 AS BIGINT) AS bad_media_text_rows,
+               CAST(1 AS INT) AS has_output
+        FROM documents
+    """,
     "eval_iou_pairs": f"""
         WITH {_DK_EVAL_CTE}
         SELECT doc_id, box_id, pair_id, iou FROM pairs

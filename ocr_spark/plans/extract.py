@@ -249,3 +249,72 @@ def extract(
     )
 
     return light.unionByName(heavy)
+
+
+def extract_invariants(spans: DataFrame, n_docs_in: int) -> DataFrame:
+    """Structural invariants of an extraction output — the
+    driver-checkable gate for the non-SQL-replayable extraction family
+    (the decode VALUES are fixture-gated; this query proves the shape
+    of the real output at gate time):
+
+    - per-doc ``order`` is contiguous from 0 (the window/kernel
+      ordering contract survives both the light and heavy paths);
+    - kinds are exactly {text, media};
+    - media rows carry a non-empty media_ref and a "<state>:<output>"
+      text with state in {right, error, problem};
+    - text rows are CJK-free (boilerplate strip ran) and carry no ref.
+
+    Returns ONE row of violation counters (all expected 0) plus the
+    input-doc count passed through for anchoring. One shuffle on doc_id
+    then a global map-side-combinable aggregate."""
+    from ocr_spark.config import CJK_HI, CJK_LO  # noqa: PLC0415
+
+    cjk = f"[{chr(CJK_LO)}-{chr(CJK_HI)}]"
+    is_text = F.col("kind") == "text"
+    is_media = F.col("kind") == "media"
+
+    def flag(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    per_doc = (
+        spans.select(
+            "doc_id",
+            "order",
+            flag(~(is_text | is_media)).alias("bad_kind"),
+            flag(is_media & (F.coalesce("media_ref", F.lit("")) == "")).alias(
+                "media_no_ref"
+            ),
+            flag(is_text & (F.coalesce("media_ref", F.lit("")) != "")).alias(
+                "text_with_ref"
+            ),
+            flag(is_text & F.col("text").rlike(cjk)).alias("cjk_text"),
+            flag(
+                is_media & ~F.col("text").rlike("^(right|error|problem):")
+            ).alias("bad_media_text"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("order").alias("mn"),
+            F.max("order").alias("mx"),
+            F.count_distinct("order").alias("cd"),
+            F.sum("bad_kind").alias("bad_kind"),
+            F.sum("media_no_ref").alias("media_no_ref"),
+            F.sum("text_with_ref").alias("text_with_ref"),
+            F.sum("cjk_text").alias("cjk_text"),
+            F.sum("bad_media_text").alias("bad_media_text"),
+        )
+    )
+    contiguous = (
+        (F.col("mn") == 0) & (F.col("mx") == F.col("c") - 1) & (F.col("cd") == F.col("c"))
+    )
+    return per_doc.agg(
+        F.lit(int(n_docs_in)).cast("bigint").alias("n_docs_in"),
+        F.sum(F.when(~contiguous, 1).otherwise(0)).alias("bad_order_docs"),
+        F.sum("bad_kind").alias("bad_kind_rows"),
+        F.sum("media_no_ref").alias("media_no_ref_rows"),
+        F.sum("text_with_ref").alias("text_with_ref_rows"),
+        F.sum("cjk_text").alias("cjk_text_rows"),
+        F.sum("bad_media_text").alias("bad_media_text_rows"),
+        (F.count("*") > 0).cast("int").alias("has_output"),
+    )
