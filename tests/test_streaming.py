@@ -140,3 +140,54 @@ def test_stateful_sessionize_across_restarts(spark, tmp_path_factory):
     g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in w.collect()}
     e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
     assert g == e
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path_factory):
+    """The event-time TTL variant: same counts as the batch sessionize
+    on a drained feed (timers are driven by the watermark, so they are
+    inert under AvailableNow until data progresses past TTL — safe for
+    drain-and-stop jobs, unlike processing-time timers), state expiry
+    keyed to the data's own clock."""
+    from ocr_spark.streaming.incremental import SESSION_STATE_TTL_MS
+
+    base = tmp_path_factory.mktemp("etstream")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    events = spark.read.parquet(EVENTS)
+    events.write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(events.schema).parquet(inp)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_sessionize(
+            stream, state_ttl_ms=SESSION_STATE_TTL_MS, event_time_timeout=True
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    w = got.groupBy("user_id").agg(
+        F.max_by("n_sessions", "n_events").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )
+    from ocr_spark.operators.pairing import sessionize
+
+    expected = sessionize(events)
+    g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in w.collect()}
+    e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
+    assert g == e
+
+
+def test_sessionize_requires_ttl_for_event_time(spark):
+    import pytest as _pytest
+
+    events = spark.read.parquet(EVENTS)
+    with _pytest.raises(ValueError):
+        stream_sessionize(events, event_time_timeout=True)
