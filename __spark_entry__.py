@@ -148,6 +148,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "embeddings")
     ),
     "ivf_recall": lambda s, d: similarity.ivf_recall(_t(s, d, "embeddings")),
+    "ivf_kmeans_assign": lambda s, d: similarity.ivf_assign(
+        _t(s, d, "embeddings"),
+        codebook=similarity.kmeans_codebook(_t(s, d, "embeddings")),
+    ),
+    "ivf_kmeans_recall": lambda s, d: similarity.ivf_recall(
+        _t(s, d, "embeddings"),
+        codebook=similarity.kmeans_codebook(_t(s, d, "embeddings")),
+    ),
     "media_catalog": lambda s, d: multimodal.media_catalog(
         multimodal.refs_from_doc_table(_t(s, d, "documents"))
     ),
@@ -377,6 +385,48 @@ _DK_EVAL_CTE = """
                    AS pair_id,
                  iou
           FROM best WHERE rn = 1)
+"""
+
+# Lloyd-refined IVF codebook (mirrors similarity.kmeans_codebook): 2
+# unrolled k-means iterations over the vec_id%2 sample, seeded from
+# the stride rows. Means are exact DECIMAL(20,10) sums divided once in
+# double and rounded to 9 — identical centroid arrays on both engines.
+def _dk_lloyd(prev: str, out: str) -> str:
+    return f"""
+        a_{out} AS (
+          SELECT vec_id, cell_id, v FROM (
+            SELECT s.vec_id, c.cell_id, s.v,
+                   row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY round(list_cosine_similarity(s.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM s, {prev} c) WHERE rn = 1),
+        m_{out} AS (
+          SELECT cell_id, sx.i AS i,
+                 round(CAST(sum(CAST(sx.x AS DECIMAL(20,10))) AS DOUBLE)
+                       / count(*), 9) AS m
+          FROM (SELECT cell_id,
+                       unnest(list_transform(v,
+                           (x, i) -> struct_pack(i := i, x := x))) AS sx
+                FROM a_{out})
+          GROUP BY cell_id, sx.i),
+        {out} AS (SELECT cell_id, list(m ORDER BY i) AS cv
+                  FROM m_{out} GROUP BY cell_id)
+    """
+
+
+_DK_KMEANS_CTE = f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        {_dk_lloyd('c0', 'c1')},
+        {_dk_lloyd('c1', 'c2')},
+        kassign AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM e, c2 c) WHERE rn = 1)
 """
 
 # connected components over the single-minhash candidate graph + the
@@ -828,6 +878,41 @@ ORACLES: dict[str, str] = {
                                 c.cell_id ASC) AS rn
             FROM e, c) WHERE rn = 1),
         ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id)),
+        qq AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+               FROM ev WHERE vec_id % 50 = 0),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, ev.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qq.query_id
+                       ORDER BY round(list_cosine_similarity(qq.qv, ev.v), 6) DESC,
+                                ev.vec_id ASC) AS rank
+            FROM ev JOIN qq ON ev.cell_id = qq.qcell AND ev.vec_id <> qq.query_id)
+          WHERE rank <= 10),
+        hits AS (
+          SELECT b.query_id, count(a.neighbor_id) AS n_hit
+          FROM brute b LEFT JOIN approx a
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id)
+        SELECT count(*) AS n_queries,
+               round(CAST(sum(n_hit) AS double) / (count(*) * 10), 6) AS avg_recall
+        FROM hits
+    """,
+    "ivf_kmeans_assign": f"""
+        WITH {_DK_KMEANS_CTE}
+        SELECT vec_id, cell_id FROM kassign
+    """,
+    "ivf_kmeans_recall": f"""
+        WITH {_DK_KMEANS_CTE},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        brute AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM e JOIN q ON e.vec_id <> q.query_id)
+          WHERE rank <= 10),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN kassign a USING (vec_id)),
         qq AS (SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
                FROM ev WHERE vec_id % 50 = 0),
         approx AS (

@@ -67,17 +67,82 @@ def _codebook(e: DataFrame, stride: int) -> DataFrame:
     return cents
 
 
-def ivf_assign(emb: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
+def kmeans_codebook(
+    emb: DataFrame,
+    stride: int = CENTROID_STRIDE,
+    iters: int = 2,
+    sample_every: int = 2,
+) -> DataFrame:
+    """Lloyd-refined coarse codebook: ``iters`` deterministic k-means
+    iterations over a bounded sample (every ``sample_every``-th
+    vector), seeded from the stride subsample — so the exact centroids
+    are replayable by the DuckDB oracle (and by any engine):
+
+    - assignment uses the same round(6)-cosine + min-cell-id tie-break
+      as ivf_assign (boundary decisions cannot drift);
+    - the new centroid means are DECIMAL(20,10) elementwise sums
+      (exact, order-independent) divided once in double and rounded to
+      9 — identical arrays on every engine and partitioning;
+    - a centroid that loses all sample members disappears (standard
+      Lloyd degeneracy), deterministically on both sides.
+
+    Scale shape: the sample is bounded, each iteration is one
+    broadcast-join + one (cell, dim)-keyed aggregation — the corpus is
+    never touched; at 100 TB the sample cap is the knob.
+    Returns (cell_id, cv)."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample = e.where(F.col("vec_id") % sample_every == 0)
+    cents = _codebook(e, stride)
+    for _ in range(iters):
+        cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+        assigned = (
+            sample.join(F.broadcast(cents))
+            .select("vec_id", "v", "cell_id", cos.alias("cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cell_id", F.struct(F.col("cos"), -F.col("cell_id"))
+                ).alias("cell_id"),
+                F.first("v").alias("v"),  # constant within the group
+            )
+        )
+        dims = assigned.select(
+            "cell_id", F.posexplode("v").alias("pos", "val")
+        )
+        means = dims.groupBy("cell_id", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("m")
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("cv")
+        )
+    # lazily materialize: consumers (assign + recall arms) read the
+    # refined codebook several times; the 100 TB twin writes the
+    # codebook table once and broadcasts it
+    return cents.localCheckpoint(eager=False)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    stride: int = CENTROID_STRIDE,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
     """Assign every vector to its nearest coarse centroid.
 
-    The codebook here is a deterministic subsample (every ``stride``-th
-    vector) so the assignment is reproducible across engines; in
-    production the codebook comes from a k-means sample, but the plan
-    shape is identical: broadcast the (tiny) codebook, one pass over
-    the corpus, argmax by cosine with centroid-id tie-break, NO
-    corpus-sized shuffle. Returns (vec_id, cell_id)."""
+    The default codebook is a deterministic subsample (every
+    ``stride``-th vector) so the assignment is reproducible across
+    engines; pass ``codebook=kmeans_codebook(emb)`` for the
+    Lloyd-refined production codebook (same plan shape: broadcast the
+    (tiny) codebook, one pass over the corpus, argmax by cosine with
+    centroid-id tie-break, NO corpus-sized shuffle).
+    Returns (vec_id, cell_id)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = _codebook(e, stride)
+    cents = codebook if codebook is not None else _codebook(e, stride)
     cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
     # argmax via map-side max_by aggregation instead of a sort window:
     # the (vectors x codebook) relation never hits a full sort, and the
@@ -97,6 +162,7 @@ def knn_cosine_ivf(
     every: int = QUERY_EVERY,
     k: int = 10,
     stride: int = CENTROID_STRIDE,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: each query searches only its own IVF cell.
 
@@ -108,7 +174,7 @@ def knn_cosine_ivf(
     keeping the top-n cells from the assignment window instead of 1.
     Returns (query_id, rank, neighbor_id, cos)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assign = ivf_assign(emb, stride)
+    assign = ivf_assign(emb, stride, codebook=codebook)
     ev = e.join(assign, "vec_id")
     q = ev.where(F.col("vec_id") % every == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -215,6 +281,7 @@ def ivf_recall(
     every: int = QUERY_EVERY,
     k: int = 10,
     stride: int = CENTROID_STRIDE,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF (nprobe=1) path against brute force — the
     ANN quality dial an operator watches when tuning stride/nprobe.
@@ -223,7 +290,7 @@ def ivf_recall(
     brute = knn_cosine_topk(emb, every=every, k=k).select(
         "query_id", F.col("neighbor_id").alias("nb")
     )
-    approx = knn_cosine_ivf(emb, every=every, k=k, stride=stride).select(
+    approx = knn_cosine_ivf(emb, every=every, k=k, stride=stride, codebook=codebook).select(
         "query_id", F.col("neighbor_id").alias("na")
     )
     overlap = (
