@@ -99,6 +99,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents")
     ),
     "quality_score": lambda s, d: textstats.quality_scores(_t(s, d, "documents")),
+    "stopword_fraction": lambda s, d: textstats.stopword_fractions(
+        _t(s, d, "documents")
+    ),
+    "repetition_ratio": lambda s, d: textstats.repetition_ratios(
+        _t(s, d, "documents")
+    ),
     "lang_id": lambda s, d: textstats.lang_id(_t(s, d, "documents")),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "char_vocab": lambda s, d: textstats.char_vocab(_t(s, d, "documents")),
@@ -564,6 +570,29 @@ ORACLES: dict[str, str] = {
                CAST(length(regexp_replace(text, '[aeiou ]', '', 'g')) AS double)
                  / length(text) AS consonant_ratio
         FROM documents
+    """,
+    "stopword_fraction": """
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                         x -> x IN ('a','the','and','of','to','in','is','it')))
+                     / greatest(len(toks), 1), 6) AS stop_frac
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+    """,
+    "repetition_ratio": """
+        SELECT doc_id,
+               CASE WHEN len(toks) < 10 THEN 0 ELSE len(toks) - 9 END AS n_grams,
+               CASE WHEN len(toks) < 10 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(list_transform(
+                             generate_series(1, len(toks) - 9),
+                             i -> array_to_string(toks[i:i+9], ' '))))
+                         / (len(toks) - 9), 6)
+               END AS rep_ratio
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
     """,
     "lang_id": """
         SELECT lang_guess, count(*) AS n_docs FROM (

@@ -67,6 +67,61 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", consonant_ratio.alias("consonant_ratio"))
 
 
+# The closed-class function words of the corpus filter (Gopher-style
+# quality rules use the canonical English list; the principle — a text
+# with too few function words is boilerplate/gibberish — is list-size
+# independent).
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+
+def stopword_fractions(docs: DataFrame) -> DataFrame:
+    """Stopword fraction per document — the standard LLM-corpus filter
+    signal (too-low fraction => listings/boilerplate, not prose).
+    Pure array expressions in codegen: one split, one filtered count.
+    Returns (doc_id, n_tokens, stop_frac)."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"round(size(filter({toks}, x -> x IN ({sw}))) / "
+            f"greatest(size({toks}), 1), 6)"
+        ).alias("stop_frac"),
+    )
+
+
+def repetition_ratios(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Duplicate word-``n``-gram fraction per document (the Gopher
+    repetition filter: high ratio => looping/template text an LLM
+    corpus drops). Ratio = 1 - distinct/total over the document's
+    rolling word n-grams.
+
+    Expression shape: the token array is LET-BOUND via the
+    transform-over-singleton trick — the gram lambda references it once
+    per gram, and a plain staged column would be re-inlined by
+    CollapseProject and re-split per iteration (the documented 16x
+    trap). Short docs (< n tokens) score 0. Returns
+    (doc_id, n_grams, rep_ratio)."""
+    expr = f"""
+        transform(
+          array(filter(split(text, ' '), x -> x <> '')),
+          toks -> CASE WHEN size(toks) < {n} THEN named_struct('n_grams', 0, 'r', 0.0d)
+            ELSE named_struct(
+              'n_grams', size(toks) - {n - 1},
+              'r', round(1.0d - size(array_distinct(
+                       transform(sequence(1, size(toks) - {n - 1}),
+                                 i -> concat_ws(' ', slice(toks, i, {n})))))
+                     / (size(toks) - {n - 1}), 6))
+            END)[0]
+    """
+    return docs.select("doc_id", F.expr(expr).alias("s")).select(
+        "doc_id",
+        F.col("s.n_grams").alias("n_grams"),
+        F.col("s.r").alias("rep_ratio"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     ratio = (
         F.length(F.regexp_replace("text", "[aeiou ]", "")) / F.length("text")

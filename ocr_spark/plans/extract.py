@@ -200,8 +200,18 @@ def extract(
         else:
             raise ValueError(f"media_stats: {media_stats!r}")
         heavy_threshold = max(HEAVY_MEDIA_SPANS, int(HEAVY_SKEW_RATIO * mean))
-        if mx <= heavy_threshold:
-            heavy_threshold = None  # nothing qualifies: drop the branch
+        # Branch-drop ONLY on exact statistics (metadata tuple or a full
+        # aggregate): the sampled max is a scan-order prefix that cannot
+        # prove the absence of a mega-doc — when ingest order correlates
+        # with media density (the adversarial sorted layout), dropping
+        # the branch on a prefix max reintroduces the exact straggler
+        # the auto rule exists to split. Under 'sample' the heavy branch
+        # stays in the plan; if nothing qualifies it processes zero rows
+        # — the insurance costs a second scan arm, which is small next
+        # to the per-span kernel compute; metadata stats (the intended
+        # production mode) restore the single-scan branch-dropped plan.
+        if mx <= heavy_threshold and media_stats != "sample":
+            heavy_threshold = None  # provably nothing qualifies: drop the branch
 
     if salt == "auto":
         if scan_partitions is None:

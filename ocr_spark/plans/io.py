@@ -101,19 +101,24 @@ class SnapshotStore:
     def _write_metrics(self, snapshot_id: int, rows: list[dict]) -> None:
         """Commit-protocol step 2: the group's metric rows land in the
         _metrics parquet table (one file per snapshot, written BEFORE
-        the pointer swap — a crash between the two leaves an orphan
-        file that readers never see because they filter to committed
-        snapshot ids; a re-attempt of the same snapshot id simply
-        overwrites it)."""
+        the pointer swap). Written tmp-then-rename like the pointer
+        itself: readers filter orphan snapshots out by id, but they
+        still OPEN every file in the directory, so a torn parquet from
+        a crash mid-write would fail the whole metrics read — os.replace
+        guarantees any file that exists is complete. A re-attempt of
+        the same snapshot id simply replaces it."""
         import pyarrow as pa  # noqa: PLC0415
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         os.makedirs(self.metrics_dir, exist_ok=True)
         schema = pa.schema([(n, getattr(pa, t)()) for n, t in self._METRIC_FIELDS])
         table = pa.Table.from_pylist(rows, schema=schema)
-        pq.write_table(
-            table, os.path.join(self.metrics_dir, f"snap-{snapshot_id:06d}.parquet")
-        )
+        final = os.path.join(self.metrics_dir, f"snap-{snapshot_id:06d}.parquet")
+        # dot-prefixed so a crash-orphaned tmp is invisible to both
+        # Spark (HiddenFileFilter) and pyarrow datasets (ignore_prefixes)
+        tmp = os.path.join(self.metrics_dir, f".snap-{snapshot_id:06d}.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
 
     def commit(self, new_buckets: list[int], lineage_rows: list[dict]) -> dict:
         """Atomically advance the snapshot pointer. os.replace is the

@@ -40,8 +40,18 @@ docs = spark.read.parquet({corpus!r})
 warm = docs.limit(128)
 extract(warm, heavy_threshold=0).write.mode('overwrite').parquet({out!r} + '_warm')
 extract(warm, heavy_threshold={heavy!r}, salt={salt!r}).write.mode('overwrite').parquet({out!r} + '_warm')
+if {assert_mega_heavy!r}:
+    # replay the auto rule on exact stats and prove the 4k-span mega doc
+    # lands on the heavy (split) branch — otherwise this config would
+    # quietly benchmark the unsplit plan under the 'auto' label
+    from pyspark.sql import functions as F
+    from ocr_spark.plans.extract import media_span_count, HEAVY_MEDIA_SPANS, HEAVY_SKEW_RATIO
+    stats = docs.select(media_span_count().alias('m')).agg(
+        F.avg('m').alias('mean'), F.max('m').alias('mx')).first()
+    thr = max(HEAVY_MEDIA_SPANS, int(HEAVY_SKEW_RATIO * stats['mean']))
+    assert stats['mx'] > thr, (stats, thr)
 t0 = time.time()
-extract(docs, heavy_threshold={heavy!r}, salt={salt!r}).write.mode('overwrite').parquet({out!r})
+extract(docs, heavy_threshold={heavy!r}, salt={salt!r}, media_stats={media_stats!r}).write.mode('overwrite').parquet({out!r})
 
 wall = time.time() - t0
 n = spark.read.parquet({out!r}).select('doc_id').distinct().count()
@@ -50,8 +60,25 @@ spark.stop()
 """
 
 
-def run_once(corpus: str, out: str, cpus: int, heavy="auto", salt="auto") -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, out=out, heavy=heavy, salt=salt)
+def run_once(
+    corpus: str,
+    out: str,
+    cpus: int,
+    heavy="auto",
+    salt="auto",
+    media_stats="sample",
+    assert_mega_heavy=False,
+) -> dict:
+    code = CHILD.format(
+        repo=REPO,
+        cpus=cpus,
+        corpus=corpus,
+        out=out,
+        heavy=heavy,
+        salt=salt,
+        media_stats=media_stats,
+        assert_mega_heavy=assert_mega_heavy,
+    )
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -141,22 +168,31 @@ def main() -> None:
 
     nl = args.n_large
     results: dict[str, dict] = {}
-    for label, cpus, h, salt, src in [
-        ("local[4]", 4, "auto", "auto", corpus),
-        (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus),
-        ("local[16]", 16, "auto", "auto", corpus),
-        (f"local[{nl}]", nl, "auto", "auto", corpus),
-        (f"local[{nl}]-salted", nl, "auto", True, corpus),
-        (f"local[{nl}]-split16", nl, 16, "auto", corpus),
-        (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted),
-        (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted),
-        (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega),
-        (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega),
+    # (label, cpus, heavy_threshold, salt, corpus, media_stats): the
+    # megadoc-auto config pins media_stats='exact' so the auto rule sees
+    # the true max (a prefix sample observing the mega doc is a corpus-
+    # size accident) — and the child asserts the mega doc actually
+    # crosses the threshold, so the 'auto(splits mega)' label is honest.
+    for label, cpus, h, salt, src, mstats in [
+        ("local[4]", 4, "auto", "auto", corpus, "sample"),
+        (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus, "sample"),
+        ("local[16]", 16, "auto", "auto", corpus, "sample"),
+        (f"local[{nl}]", nl, "auto", "auto", corpus, "sample"),
+        (f"local[{nl}]-salted", nl, "auto", True, corpus, "sample"),
+        (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample"),
+        (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample"),
+        (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted, "sample"),
+        (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega, "sample"),
+        (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega, "exact"),
     ]:
         walls = []
         reps = args.timed  # real kernel: 3 cold-JVM medians per config
         for _ in range(reps):
-            r = run_once(src, out, cpus, h, salt)
+            r = run_once(
+                src, out, cpus, h, salt,
+                media_stats=mstats,
+                assert_mega_heavy=(src == corpus_mega and h == "auto"),
+            )
             walls.append(r["wall_s"])
         med = statistics.median(walls)
         results[label] = {
