@@ -23,6 +23,7 @@ from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
 from ocr_spark.operators import (
     dedup,
     evaluate,
+    geometry,
     multimodal,
     pairing,
     similarity,
@@ -173,6 +174,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "eval_iou_pairs": lambda s, d: evaluate.eval_iou_pairs(_t(s, d, "documents")),
     "eval_metrics": lambda s, d: evaluate.eval_metrics(_t(s, d, "documents")),
+    "straddle_prune": lambda s, d: geometry.prune_crossing_links(
+        geometry.synthetic_links(_t(s, d, "documents")),
+        evaluate.gold_boxes(_t(s, d, "documents")).select(
+            "doc_id", "left", "top", "right", "bottom"
+        ),
+    ),
     "mutual_nearest_pair": lambda s, d: pairing.mutual_nearest_events(_t(s, d, "events")),
     "topk_per_group": lambda s, d: pairing.topk_per_type(_t(s, d, "events")),
     "value_band_join": lambda s, d: pairing.value_bands(_t(s, d, "events")),
@@ -418,6 +425,44 @@ def _dk_lloyd(prev: str, out: str) -> str:
         {out} AS (SELECT cell_id, list(m ORDER BY i) AS cv
                   FROM m_{out} GROUP BY cell_id)
     """
+
+
+def _dk_straddle(yy: str) -> str:
+    """IsIntersec (layout_analysis_bottom_to_top.py:22-38) for a link
+    segment (x1,y1)-(x2,y2) against the horizontal box edge
+    (lft,{yy})-(rgt,{yy}), all BIGINT. The general formula with the
+    horizontal edge's zero terms folded: the second straddle pair
+    reduces to (rgt-lft)*(y-{yy}) because the edge has no rise."""
+    return f"""(
+        greatest(x1, x2) >= lft AND rgt >= least(x1, x2)
+        AND greatest(y1, y2) >= {yy} AND {yy} >= least(y1, y2)
+        AND ((x2-x1)*({yy}-y1) - (lft-x1)*(y2-y1))
+            * ((x2-x1)*({yy}-y1) - (rgt-x1)*(y2-y1)) <= 0
+        AND ((rgt-lft)*(y1-{yy})) * ((rgt-lft)*(y2-{yy})) <= 0
+    )"""
+
+
+_DK_STRADDLE_CTE = f"""
+        lk0 AS (SELECT doc_id, unnest(range(4)) AS li FROM documents),
+        lk AS (SELECT doc_id, CAST(li AS INT) AS link_id,
+                      CAST(50 + li * 85 AS BIGINT) AS x1,
+                      CAST((doc_id * 7 + li * 13) % 300 AS BIGINT) AS y1,
+                      CAST(50 + li * 85 + (doc_id + li * 2) % 120 - 60
+                           AS BIGINT) AS x2,
+                      CAST((doc_id * 11 + li * 29) % 300 AS BIGINT) AS y2
+               FROM lk0),
+        bx0 AS (SELECT doc_id, unnest(range(doc_id % 3 + 1)) AS bi
+                FROM documents),
+        bx AS (SELECT doc_id,
+                      CAST(40 + bi * 220 AS BIGINT) AS lft,
+                      CAST(30 + (doc_id % 5) * 60 AS BIGINT) AS top,
+                      CAST(220 + bi * 220 AS BIGINT) AS rgt,
+                      CAST(70 + (doc_id % 5) * 60 AS BIGINT) AS btm
+               FROM bx0),
+        crossed AS (SELECT DISTINCT lk.doc_id, lk.link_id
+                    FROM lk JOIN bx ON lk.doc_id = bx.doc_id
+                    WHERE {_dk_straddle("top")} OR {_dk_straddle("btm")})
+"""
 
 
 _DK_KMEANS_CTE = f"""
@@ -1084,6 +1129,13 @@ ORACLES: dict[str, str] = {
         SELECT media_ref, fi AS frame_idx,
                round(CAST(s AS DOUBLE) / 64, 6) AS frame_mean
         FROM fb
+    """,
+    "straddle_prune": f"""
+        WITH {_DK_STRADDLE_CTE}
+        SELECT lk.doc_id, lk.link_id, x1, y1, x2, y2
+        FROM lk LEFT JOIN crossed c
+          ON lk.doc_id = c.doc_id AND lk.link_id = c.link_id
+        WHERE c.doc_id IS NULL
     """,
     "mutual_nearest_pair": """
         WITH n AS (

@@ -470,6 +470,7 @@ def dup_clusters(
     docs: DataFrame,
     max_iters: int = 20,
     pairs: DataFrame | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over the near-duplicate candidate graph:
     every doc that shares a candidate edge with another gets a
@@ -488,6 +489,13 @@ def dup_clusters(
     - the convergence check is folded into the SAME materialization: a
       ``_changed`` flag is computed during the round and counted on the
       already-checkpointed partitions — no second join-and-count job;
+    - the count itself only fires every ``check_every`` rounds (and on
+      the last): on high-diameter graphs almost every round is
+      non-final, so a per-round count is a pure job-launch tax; the
+      price is at most ``check_every - 1`` extra propagation rounds
+      after convergence, each a join over already-stable label rows.
+      Min-label propagation is monotone, so "one round with zero
+      changes" remains a sound convergence witness whenever sampled;
     - if the loop exhausts ``max_iters`` with changes pending (graph
       diameter > max_iters — possible once banded LSH edges feed in),
       it RAISES instead of silently returning non-converged labels,
@@ -511,7 +519,7 @@ def dup_clusters(
         .localCheckpoint()
     )
     changed = -1
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
@@ -530,10 +538,12 @@ def dup_clusters(
             )
             .localCheckpoint()  # eager: materializes this round, truncates lineage
         )
-        changed = updated.where("_changed").count()  # scan of checkpointed rows only
         labels = updated.drop("_changed")
-        if changed == 0:
-            break
+        if rnd % check_every == check_every - 1 or rnd == max_iters - 1:
+            # scan of checkpointed rows only
+            changed = updated.where("_changed").count()
+            if changed == 0:
+                break
     if changed != 0:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} rounds "

@@ -82,6 +82,14 @@ def test_dup_clusters_on_chained_graph(spark):
     assert len(out) == 11
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dup_clusters(dummy_docs, max_iters=2, pairs=pairs)
+    # sampled convergence checks (check_every) never change the result,
+    # and a check interval past max_iters still checks on the last round
+    sparse = dedup.dup_clusters(
+        dummy_docs, max_iters=20, pairs=pairs, check_every=3
+    ).collect()
+    assert sorted(map(tuple, sparse)) == sorted(map(tuple, out))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(dummy_docs, max_iters=2, pairs=pairs, check_every=99)
 
 
 def test_banded_pairs_have_verified_jaccard_path(spark, docs):

@@ -181,6 +181,35 @@ def _dist(p1, p2):
     return math.sqrt(sum(pow(a - b, 2) for a, b in zip(p1, p2)))
 
 
+def cross_prod(p1, p2, p3):
+    """Transcribed: layout_analysis_bottom_to_top.py:15-20 (points are
+    (x, y) tuples)."""
+    x1 = p2[0] - p1[0]
+    y1 = p2[1] - p1[1]
+    x2 = p3[0] - p1[0]
+    y2 = p3[1] - p1[1]
+    return x1 * y2 - x2 * y1
+
+
+def is_intersec(p1, p2, p3, p4):
+    """Transcribed: layout_analysis_bottom_to_top.py:22-38 — bounding
+    box quick-reject (>=, touching passes) then straddle test (<=0,
+    collinear touching intersects)."""
+    if (
+        max(p1[0], p2[0]) >= min(p3[0], p4[0])
+        and max(p3[0], p4[0]) >= min(p1[0], p2[0])
+        and max(p1[1], p2[1]) >= min(p3[1], p4[1])
+        and max(p3[1], p4[1]) >= min(p1[1], p2[1])
+    ):
+        if (
+            cross_prod(p1, p2, p3) * cross_prod(p1, p2, p4) <= 0
+            and cross_prod(p3, p4, p1) * cross_prod(p3, p4, p2) <= 0
+        ):
+            return 1
+        return 0
+    return 0
+
+
 def _row_iou(b1, b2):
     mt = max(b1[1], b2[1])
     mb = min(b1[3], b2[3])
