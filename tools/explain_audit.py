@@ -54,6 +54,21 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("ocr_media_decode_stats", ["MapInPandas"], ["CartesianProduct"]),
     ("ocr_media_frame_sample", ["BroadcastHashJoin", "MapInPandas"],
      ["CartesianProduct"]),
+    # F12 prune: equi anti-join on doc_id with the straddle test as a
+    # residual predicate — must stay a hash join, never nested-loop,
+    # and the integer geometry never drops to Python
+    ("straddle_prune", ["LeftAnti"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
+    ("stopword_fraction", ["codegen id :"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
+    ("repetition_ratio", ["codegen id :"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
+    # Lloyd-refined codebook still enters the assignment as a broadcast:
+    # vectors x all-centroids has no equi key by design (max_by reduces
+    # it), so the contract is broadcast nested-loop against the KB-sized
+    # checkpointed codebook — never a shuffled cartesian of the corpus
+    ("ivf_kmeans_assign", ["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 ]
 
 
