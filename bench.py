@@ -28,6 +28,9 @@ DEFAULT_QUERIES = [
     "minhash_signature",
     "minhash_banded_pairs",
     "simhash_hamming_pairs",
+    "dedup_corpus",
+    "stopword_fraction",
+    "straddle_prune",
     "eval_metrics",
     "knn_cosine_topk",
     "knn_cosine_ivf",

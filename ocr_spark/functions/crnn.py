@@ -237,13 +237,25 @@ def forward_probs(img: np.ndarray, weights: dict) -> np.ndarray:
 # class_probs absorbs BLAS summation-order noise, so decode stays
 # bit-identical to the per-crop path (asserted by test_crnn).
 
-# Per-matmul sub-batch cap. Measured sweep (this box, BLAS pinned to 1
-# thread as in the Spark workers, interleaved A/B medians): end-to-end
-# extraction peaks at 8 crops (1.27x vs per-crop) and COLLAPSES beyond
-# ~24 (3-8x slower at 64-128) — the classifier's context matrix is
-# ~1 MB/crop, so larger stacks fall out of L2/L3 and the whole pass
-# goes memory-bound. This is a cache budget, not a parallelism knob.
-_MAX_CROPS = 8
+# Per-matmul sub-batch cap — how many same-shape crops stack into one
+# im2col/classifier matmul. Two measured sweeps disagree, and the
+# CONCURRENT one is the one that matters:
+# - single-worker (idle box): peak at 8 crops (1.27x vs per-crop),
+#   collapse beyond ~24 — a per-worker L2/L3 budget;
+# - 32 concurrent workers (tools/ab_maxcrops.py, cold-JVM interleaved
+#   A/B on the real extraction job): monotonically WORSE with stacking
+#   — cap=8 is 1.7x slower than cap=1 (46.0s vs 26.7s median at 6000
+#   docs), cap=4 1.8x, cap=2 1.2x — while at local[4] all caps tie
+#   (121.6s vs 121.7s). The ~1 MB/crop context matrices are cache-
+#   resident per-crop, but 32 workers x stacked batches oversubscribe
+#   the SHARED L3/DRAM bandwidth, and the whole fleet goes memory-
+#   bound. Deployment shape is always many-workers-per-host, so the
+#   default is 1 (no stacking); the width-bucket machinery stays for
+#   the vectorized decode and for hosts with larger cache-per-core
+#   (env-overridable so A/B benchmarks reach the forked workers).
+import os as _os  # noqa: E402
+
+_MAX_CROPS = int(_os.environ.get("OCR_SPARK_MAX_CROPS", "1"))
 
 
 def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
