@@ -261,7 +261,7 @@ def extract(
     return light.unionByName(heavy)
 
 
-def extract_invariants(spans: DataFrame, n_docs_in: int) -> DataFrame:
+def extract_invariants(spans: DataFrame, docs: DataFrame) -> DataFrame:
     """Structural invariants of an extraction output — the
     driver-checkable gate for the non-SQL-replayable extraction family
     (the decode VALUES are fixture-gated; this query proves the shape
@@ -274,12 +274,43 @@ def extract_invariants(spans: DataFrame, n_docs_in: int) -> DataFrame:
       text with state in {right, error, problem};
     - text rows are CJK-free (boilerplate strip ran) and carry no ref.
 
-    Returns ONE row of violation counters (all expected 0) plus the
-    input-doc count passed through for anchoring. One shuffle on doc_id
-    then a global map-side-combinable aggregate."""
+    Doc accounting is LOAD-BEARING, not a pass-through literal: a
+    document legitimately vanishes from the output only when it has no
+    media span and every text span is boilerplate-stripped (cleans to
+    '' or still contains CJK — extract_batch.clean_text_spans). The
+    expected surviving-doc count is recomputed over the INPUT corpus
+    with the same predicate as a codegen ``exists`` expression, and
+    ``unaccounted_docs`` = expected − observed is pinned to 0 by the
+    oracle — a silently dropped document is a hard mismatch. One
+    shuffle on doc_id for the output aggregate plus one map-side
+    aggregate over the input; both all-column-pruned scans."""
     from ocr_spark.config import CJK_HI, CJK_LO  # noqa: PLC0415
+    from ocr_spark.functions.text_clean import (  # noqa: PLC0415
+        TRANSLATE_MATCHING,
+        TRANSLATE_REPLACE,
+    )
 
     cjk = f"[{chr(CJK_LO)}-{chr(CJK_HI)}]"
+
+    def _survives(t):
+        # Catalyst twin of clean_text_spans' keep mask
+        c = F.translate(t, TRANSLATE_MATCHING, TRANSLATE_REPLACE)
+        parts = F.split(c, "=")
+        cleaned = F.when(
+            F.size(parts) > 2,
+            F.concat(F.element_at(parts, 1), F.lit("="), F.element_at(parts, -1)),
+        ).otherwise(c)
+        return (cleaned != F.lit("")) & ~cleaned.rlike(cjk)
+
+    emits_output = F.exists(
+        "spans",
+        lambda s: (s["kind"] == F.lit("media"))
+        | ((s["kind"] == F.lit("text")) & _survives(s["text"])),
+    )
+    expected = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs_in"),
+        F.sum(emits_output.cast("bigint")).alias("_expected_out"),
+    )
     is_text = F.col("kind") == "text"
     is_media = F.col("kind") == "media"
 
@@ -318,8 +349,8 @@ def extract_invariants(spans: DataFrame, n_docs_in: int) -> DataFrame:
     contiguous = (
         (F.col("mn") == 0) & (F.col("mx") == F.col("c") - 1) & (F.col("cd") == F.col("c"))
     )
-    return per_doc.agg(
-        F.lit(int(n_docs_in)).cast("bigint").alias("n_docs_in"),
+    observed = per_doc.agg(
+        F.count("*").cast("bigint").alias("_n_docs_out"),
         F.sum(F.when(~contiguous, 1).otherwise(0)).alias("bad_order_docs"),
         F.sum("bad_kind").alias("bad_kind_rows"),
         F.sum("media_no_ref").alias("media_no_ref_rows"),
@@ -327,4 +358,18 @@ def extract_invariants(spans: DataFrame, n_docs_in: int) -> DataFrame:
         F.sum("cjk_text").alias("cjk_text_rows"),
         F.sum("bad_media_text").alias("bad_media_text_rows"),
         (F.count("*") > 0).cast("int").alias("has_output"),
+    )
+    # both sides are single rows; the join is a trivial broadcast
+    return observed.crossJoin(expected).select(
+        "n_docs_in",
+        (F.col("_expected_out") - F.col("_n_docs_out"))
+        .cast("bigint")
+        .alias("unaccounted_docs"),
+        "bad_order_docs",
+        "bad_kind_rows",
+        "media_no_ref_rows",
+        "text_with_ref_rows",
+        "cjk_text_rows",
+        "bad_media_text_rows",
+        "has_output",
     )

@@ -162,8 +162,18 @@ def _make_sessionize_kernel(state_ttl_ms: int | None, event_time: bool = False):
         if state_ttl_ms is not None:
             if event_time:
                 # timer in EVENT time: fires once the watermark passes
-                # last seen event + TTL (restart-safe, skew-immune)
-                state.setTimeoutTimestamp(int(last_ts * 1000) + state_ttl_ms)
+                # last seen event + TTL (restart-safe, skew-immune).
+                # Spark rejects a timeout timestamp at-or-before the
+                # current watermark — a backfill user whose last event
+                # is older than (watermark - TTL) would crash the
+                # query — so clamp to just past the watermark (the
+                # state is then reaped at the next micro-batch).
+                state.setTimeoutTimestamp(
+                    max(
+                        int(last_ts * 1000) + state_ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             else:
                 state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(

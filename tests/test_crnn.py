@@ -87,16 +87,21 @@ def test_char_frame_range_covers_glyphs(weights):
     assert 0 <= r0[0] < r0[1] < r1[0] < r1[1] <= t_total - 1
 
 
-def test_batched_forward_bit_identical(weights):
+@pytest.mark.parametrize("max_crops", [1, 8])
+def test_batched_forward_bit_identical(weights, monkeypatch, max_crops):
     """The width-bucketed batched forward pass (forward_probs_batch)
     returns BIT-IDENTICAL matrices to the per-crop path for every crop
     — the property that lets the extraction kernels batch recognition
     across the whole Arrow batch without touching the frozen
-    fixtures. Mixed widths exercise bucketing; >_MAX_CROPS of one
-    width exercises sub-batch chunking."""
+    fixtures. Mixed widths exercise bucketing; >max_crops of one width
+    exercises sub-batch chunking. Parametrized over the sub-batch cap
+    so the N>1 stacked-GEMM path is exercised even though the
+    environment default is OCR_SPARK_MAX_CROPS=1 (the env knob
+    ab_maxcrops.py benchmarks)."""
+    monkeypatch.setattr(crnn, "_MAX_CROPS", max_crops)
     labels = ["12+3=15", "7×8=56", "", "9", "(4+5", "123÷4=30*3"]
     imgs = [crnn.render_label(lab, seed=100 + i) for i, lab in enumerate(labels)]
-    imgs += [crnn.render_label("5×5=25", seed=i) for i in range(crnn._MAX_CROPS + 3)]
+    imgs += [crnn.render_label("5×5=25", seed=i) for i in range(max_crops + 3)]
     batched = crnn.forward_probs_batch(imgs, weights)
     for i, img in enumerate(imgs):
         assert np.array_equal(batched[i], crnn.forward_probs(img, weights)), i

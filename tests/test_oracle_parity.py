@@ -70,6 +70,51 @@ def test_every_query_has_oracle_or_is_extraction():
     assert all(k.startswith("ocr_") for k in unchecked), unchecked
 
 
+# Production-shaped queries that MUST stay inside the driver's gate
+# window (the first 50 entries of QUERIES, checked in insertion order).
+# Round 3 lost 12 relational green rows by inserting new queries ahead
+# of them — this pins the membership so it can't regress silently.
+GATE_WINDOW = 50
+GATED_REQUIRED = {
+    # extraction
+    "ocr_extract_spans", "ocr_extract_invariants",
+    # text stats / functions
+    "clean_text", "cjk_boilerplate_filter", "token_count",
+    "bpe_token_count", "rolling_fingerprint", "quality_score",
+    "stopword_fraction", "repetition_ratio", "lang_id",
+    "doc_fingerprint", "char_vocab", "length_histogram",
+    "edit_distance", "arith_verdict_udf", "approx_distinct_check",
+    # dedup (production-shaped)
+    "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
+    "simhash_hamming_pairs", "dup_clusters_banded", "dedup_corpus",
+    "banded_pairs_bucket_cap", "ngram_jaccard_pairs",
+    "jaccard_banded_pairs",
+    # similarity / ANN
+    "knn_cosine_topk", "knn_cosine_ivf", "embedding_near_dup",
+    "ivf_recall", "ivf_kmeans_recall",
+    # multimodal
+    "media_catalog", "ocr_media_decode_stats", "ocr_media_frame_sample",
+    # evaluation / geometry
+    "eval_iou_pairs", "eval_metrics", "straddle_prune",
+    # pairing / windows / relational
+    "mutual_nearest_pair", "topk_per_group", "value_band_join",
+    "sessionize", "moving_avg", "unmatched_events",
+    "value_percentiles", "approx_percentile_check",
+    # TPC-H family
+    "pricing_summary", "top_revenue_orders", "event_rollup",
+    "local_supplier_volume", "order_priority_counts",
+}
+
+
+def test_gate_window_covers_every_family():
+    window = list(entry.queries())[:GATE_WINDOW]
+    missing = GATED_REQUIRED - set(window)
+    assert not missing, (
+        f"queries pushed out of the driver's {GATE_WINDOW}-entry gate "
+        f"window: {sorted(missing)} — reorder QUERIES in __spark_entry__.py"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0

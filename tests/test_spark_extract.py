@@ -46,6 +46,26 @@ def test_heavy_path_equivalence(spark, expected):
         assert (out[col] == expected[col]).all(), f"mismatch in {col}"
 
 
+def test_invariants_doc_accounting_is_load_bearing(spark):
+    """unaccounted_docs must be 0 on the real output, and must flag a
+    silently dropped document (the round-3 gap: the doc count was a
+    pass-through literal the oracle reproduced by construction)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract import extract_invariants
+
+    docs = corpus_df(spark, 200, partitions=8)
+    out = extract(docs)
+    good = extract_invariants(out, docs).first()
+    assert good["n_docs_in"] == 200
+    assert good["unaccounted_docs"] == 0
+
+    # drop one doc that we know emits output (doc 0 has media spans)
+    broken = out.where(F.col("doc_id") != "doc-00000000")
+    bad = extract_invariants(broken, docs).first()
+    assert bad["unaccounted_docs"] == 1
+
+
 def test_corpus_schema(spark):
     docs = corpus_df(spark, 10, partitions=2)
     schema = docs.schema.simpleString()

@@ -191,3 +191,119 @@ def test_sessionize_requires_ttl_for_event_time(spark):
     events = spark.read.parquet(EVENTS)
     with _pytest.raises(ValueError):
         stream_sessionize(events, event_time_timeout=True)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the kernel directly."""
+
+    def __init__(self, watermark_ms: int):
+        self.exists = False
+        self.hasTimedOut = False
+        self._watermark_ms = watermark_ms
+        self.timeout_ts = None
+
+    def update(self, value):
+        self.get = value
+        self.exists = True
+
+    def remove(self):
+        self.exists = False
+
+    def getCurrentWatermarkMs(self) -> int:
+        return self._watermark_ms
+
+    def setTimeoutTimestamp(self, timestamp_ms: int) -> None:
+        if timestamp_ms <= self._watermark_ms:
+            raise ValueError(
+                "Timeout timestamp must be later than the current watermark"
+            )
+        self.timeout_ts = timestamp_ms
+
+
+def test_event_time_ttl_clamped_to_watermark():
+    """A backfill user whose last event is older than (watermark - TTL)
+    must NOT register a timer at-or-before the watermark — Spark throws
+    IllegalArgumentException for that, killing the whole query. The
+    kernel clamps to watermark+1 so the stale state is simply reaped
+    at the next micro-batch."""
+    import pandas as pd
+
+    from ocr_spark.streaming.incremental import _make_sessionize_kernel
+
+    ttl_ms = 24 * 3600 * 1000
+    watermark_ms = 10_000 * 1000 * 1000  # far ahead of the backfill data
+    kernel = _make_sessionize_kernel(ttl_ms, event_time=True)
+    state = _FakeState(watermark_ms)
+    pdf = pd.DataFrame({"ts": pd.to_datetime([0, 5_000], unit="s")})
+    out = list(kernel(("u1",), iter([pdf]), state))
+
+    assert state.timeout_ts == watermark_ms + 1
+    assert out[0]["n_events"].iloc[0] == 2
+    # a fresh (non-backfill) user still gets the real event-time TTL
+    fresh = _FakeState(watermark_ms=0)
+    pdf2 = pd.DataFrame({"ts": pd.to_datetime([7_000], unit="s")})
+    list(kernel(("u2",), iter([pdf2]), fresh))
+    assert fresh.timeout_ts == 7_000 * 1000 + ttl_ms
+
+
+def test_sessionize_event_time_backfill_replay(spark, tmp_path_factory):
+    """End-to-end backfill: run 1 establishes a high watermark from
+    recent events; run 2 appends a user whose events are far behind
+    (watermark - TTL). The query must complete (no timer-vs-watermark
+    crash) and every recent user's counts must match batch."""
+    from ocr_spark.streaming.incremental import SESSION_STATE_TTL_MS
+
+    base = tmp_path_factory.mktemp("bfstream")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    events = spark.read.parquet(EVENTS)
+    # shift the real timeline ~1000 days forward for run 1
+    recent = events.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS")
+    )
+    recent.write.mode("append").parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(inp)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_sessionize(
+                stream,
+                state_ttl_ms=SESSION_STATE_TTL_MS,
+                event_time_timeout=True,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # run 2: backfill user 10^6 with events ~1000 days behind the watermark
+    backfill = (
+        events.limit(5)
+        .withColumn("user_id", F.lit(1_000_000))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    backfill.write.mode("append").parquet(inp)
+    run()  # old code: IllegalArgumentException from the state store
+
+    got = spark.read.parquet(out)
+    w = got.groupBy("user_id").agg(
+        F.max_by("n_sessions", "n_events").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )
+    from ocr_spark.operators.pairing import sessionize
+
+    expected = sessionize(recent)
+    g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in w.collect()}
+    e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
+    # the backfill user may have been dropped as late data or emitted,
+    # depending on Spark's late-row filtering — both are safe; the
+    # recent population must be exact either way
+    g.pop(1_000_000, None)
+    assert g == e
