@@ -11,6 +11,12 @@ decimal-cast before aggregation (exact, order-independent) and cast to
 double at the end; similarity scores are rounded before ranking with
 id tie-breaks — so Spark and DuckDB cannot disagree on summation order
 or boundary rounding.
+
+GATE WINDOW: the driver's correctness gate checks only the FIRST 50
+entries of ``QUERIES`` (insertion order). Keep every family's
+production-shaped queries above the "beyond the gate window" marker;
+tests/test_oracle_parity.py::test_gate_window_covers_every_family
+enforces the membership.
 """
 
 from __future__ import annotations
@@ -413,8 +419,9 @@ _DK_EVAL_CTE = """
 """
 
 # Lloyd-refined IVF codebook (mirrors similarity.kmeans_codebook): 2
-# unrolled k-means iterations over the vec_id%2 sample, seeded from
-# the stride rows. Means are exact DECIMAL(20,10) sums divided once in
+# unrolled k-means iterations over the vec_id%2 sample capped at 200
+# rows (vec_id < max_sample*sample_every = 400), seeded from the
+# stride rows. Means are exact DECIMAL(20,10) sums divided once in
 # double and rounded to 9 — identical centroid arrays on both engines.
 def _dk_lloyd(prev: str, out: str) -> str:
     return f"""
@@ -479,7 +486,8 @@ _DK_STRADDLE_CTE = f"""
 
 _DK_KMEANS_CTE = f"""
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        s AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        s AS (SELECT vec_id, v FROM e
+              WHERE vec_id % 2 = 0 AND vec_id < 400),
         c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
         {_dk_lloyd('c0', 'c1')},
         {_dk_lloyd('c1', 'c2')},

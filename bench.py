@@ -78,6 +78,16 @@ def main() -> None:
     staged = spark.read.parquet(corpus_path)
     extract(staged.limit(128)).write.mode("overwrite").parquet(out_path + "_warm")
 
+    def sweep_persisted() -> None:
+        # free blocks a query left behind (localCheckpoint-ed sketch
+        # relations, CC label rounds): each bench query is independent,
+        # and retained blocks from one query pressuring the next is
+        # measurement noise, not workload
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+
+    loadavg_start = os.getloadavg()
     for name in names:
         t0 = time.time()
         if name == "ocr_extract_spans":
@@ -87,6 +97,8 @@ def main() -> None:
             continue
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        sweep_persisted()
+    loadavg_end = os.getloadavg()
     shutil.rmtree(workdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -104,6 +116,11 @@ def main() -> None:
                 "n_docs": n_docs,
                 "extract_rows": extract_rows,
                 "cpus": cpus,
+                # co-tenant box telemetry: 1/5/15-min loadavg at suite
+                # start and end — a run taken under contention is
+                # self-describing (see BENCH/BASELINE.md protocol)
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in loadavg_end],
             }
         )
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ocr_spark.plans.session import release_local_checkpoint
+
 SHINGLE = 5
 
 
@@ -163,7 +165,11 @@ def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     Returns (doc_a, doc_b, hamming)."""
     # lazy checkpoint: the fingerprint relation is read by 4 plan arms
     # (both join sides + both popcount rejoins); materializing it once
-    # is the "write the sketch table" pattern of a real pipeline
+    # is the "write the sketch table" pattern of a real pipeline.
+    # Lifecycle: the blocks materialize on the CALLER's first action
+    # and stay cached for the session — a caller running many queries
+    # frees them with plans.session.release_local_checkpoint(sim)
+    # equivalent (bench.py sweeps all persisted RDDs between queries)
     sim = simhash64(docs).localCheckpoint(eager=False)
     a, b = sim.alias("a"), sim.alias("b")
     cand = (
@@ -323,7 +329,9 @@ def minhash_banded_pairs(
     # lazily materialize the (tiny) sketch relation so the self-join's
     # two sides — and the optional bucket-size pass — read it once
     # instead of re-running the signature aggregate per reference; the
-    # 100 TB twin is writing the sketch table once and joining on it
+    # 100 TB twin is writing the sketch table once and joining on it.
+    # Blocks live until the caller releases them (bench.py sweeps
+    # persisted RDDs between queries)
     keys = minhash_band_keys(docs).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = keys.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
@@ -519,6 +527,7 @@ def dup_clusters(
         .localCheckpoint()
     )
     changed = -1
+    prev_ckpt = labels  # the checkpointed frame backing `labels`
     for rnd in range(max_iters):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -538,12 +547,18 @@ def dup_clusters(
             )
             .localCheckpoint()  # eager: materializes this round, truncates lineage
         )
+        # this round is materialized: the previous round's blocks are
+        # superseded — free them or the loop retains every round's
+        # label relation in executor storage for the session
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         labels = updated.drop("_changed")
         if rnd % check_every == check_every - 1 or rnd == max_iters - 1:
             # scan of checkpointed rows only
             changed = updated.where("_changed").count()
             if changed == 0:
                 break
+    release_local_checkpoint(edges)  # labels carry the answer; edges are done
     if changed != 0:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} rounds "

@@ -72,11 +72,14 @@ def kmeans_codebook(
     stride: int = CENTROID_STRIDE,
     iters: int = 2,
     sample_every: int = 2,
+    max_sample: int = 200,
 ) -> DataFrame:
     """Lloyd-refined coarse codebook: ``iters`` deterministic k-means
-    iterations over a bounded sample (every ``sample_every``-th
-    vector), seeded from the stride subsample — so the exact centroids
-    are replayable by the DuckDB oracle (and by any engine):
+    iterations over a bounded sample — every ``sample_every``-th
+    vector, capped at an ABSOLUTE ``max_sample`` rows (the first
+    ``max_sample`` qualifying vec_ids, a deterministic id-range
+    predicate) — seeded from the stride subsample, so the exact
+    centroids are replayable by the DuckDB oracle (and by any engine):
 
     - assignment uses the same round(6)-cosine + min-cell-id tie-break
       as ivf_assign (boundary decisions cannot drift);
@@ -86,12 +89,17 @@ def kmeans_codebook(
     - a centroid that loses all sample members disappears (standard
       Lloyd degeneracy), deterministically on both sides.
 
-    Scale shape: the sample is bounded, each iteration is one
-    broadcast-join + one (cell, dim)-keyed aggregation — the corpus is
-    never touched; at 100 TB the sample cap is the knob.
+    Scale shape: the sample is bounded by ``max_sample`` ROWS, not a
+    corpus fraction — each iteration is one broadcast-join + one
+    (cell, dim)-keyed aggregation over at most that many vectors, the
+    corpus is never touched; at 100 TB ``max_sample`` is the knob and
+    its default keeps the refine step constant-cost at any SF.
     Returns (cell_id, cv)."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    sample = e.where(F.col("vec_id") % sample_every == 0)
+    sample = e.where(
+        (F.col("vec_id") % sample_every == 0)
+        & (F.col("vec_id") < max_sample * sample_every)
+    )
     cents = _codebook(e, stride)
     for _ in range(iters):
         cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
@@ -123,7 +131,9 @@ def kmeans_codebook(
         )
     # lazily materialize: consumers (assign + recall arms) read the
     # refined codebook several times; the 100 TB twin writes the
-    # codebook table once and broadcasts it
+    # codebook table once and broadcasts it. Blocks live until the
+    # caller releases them (plans.session.release_local_checkpoint /
+    # bench.py's between-query sweep)
     return cents.localCheckpoint(eager=False)
 
 

@@ -7,6 +7,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def release_local_checkpoint(df) -> None:
+    """Free the cached blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    localCheckpoint truncates lineage, so the cached blocks ARE the
+    data: only call this once nothing will read ``df`` again (a
+    superseded iteration of a loop, or an operator's internal sketch
+    relation after the consuming action). Without this, iterative
+    operators retain every round's blocks for the session — a real
+    memory leak at 20 rounds x 100 TB labels. Best-effort: silently a
+    no-op if the plan isn't the expected LogicalRDD shape."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def build_session(
     master: str | None = None,
     app_name: str = "ocr_spark",

@@ -227,3 +227,70 @@ def box_probs_batch(items: list, weights: dict | None = None) -> list:
         _inject_corruption(p, lab, np.random.default_rng(sd))
         for p, lab, sd in zip(probs, labels, seeds)
     ]
+
+
+# -- F22: crop-margin variants (fixture-gen recipe) --------------------------
+
+def crop_margin_variants(
+    bbox, label: str, img_h: int, img_w: int
+) -> tuple[list[dict], list[tuple[float, float]]]:
+    """Margin-expanded crop variants for one labeled box — the
+    reference's training-crop augmentation recipe (inference.py:470-522
+    create_dataset), transcribed as pure geometry so fixture generation
+    can enumerate the variants without pixels:
+
+    - variant 0 "tight": [top:bottom+1, left:right+1];
+    - variant 1 "margin_5": expand vertically by int(height/7) on both
+      sides and horizontally by int(width/5) (the reference computes
+      this identically in BOTH label-length branches);
+    - variant 2 "margin_3" (only when len(label) <= 10): same vertical
+      expansion, horizontal int(width/3).
+
+    numpy-slice semantics are preserved INCLUDING the reference's
+    unclamped quirk: a box near the top/left edge makes the expanded
+    start negative, which numpy reads as img_h+start — usually past the
+    stop, so the crop is EMPTY (``empty: True``); the reference writes
+    a zero-size jpg there.
+
+    Also returns the resize ladder keyed on the source-image height
+    (each crop is additionally written at these (fy, fx) factors —
+    cv2.resize(fx=pair[1], fy=pair[0])): h > 3900 -> two pairs, the
+    second dividing BOTH factors by the height (reference quirk at
+    inference.py:472-473, preserved); h > 1800 -> one pair; else none.
+    """
+    left, top, right, bottom = (int(v) for v in bbox)
+    w = right - left  # row_temp
+    h = bottom - top  # column_temp
+    dv, d5 = int(h / 7), int(w / 5)
+    rects = [
+        ("tight", top, bottom + 1, left, right + 1),
+        ("margin_5", top - dv, bottom + 1 + dv, left - d5, right + 1 + d5),
+    ]
+    if len(label) <= 10:
+        d3 = int(w / 3)
+        rects.append(
+            ("margin_3", top - dv, bottom + 1 + dv, left - d3, right + 1 + d3)
+        )
+    variants = []
+    for name, r0, r1, c0, c1 in rects:
+        rr0 = r0 + img_h if r0 < 0 else r0
+        cc0 = c0 + img_w if c0 < 0 else c0
+        rr1, cc1 = min(r1, img_h), min(c1, img_w)
+        height, width = max(0, rr1 - rr0), max(0, cc1 - cc0)
+        variants.append(
+            {
+                "variant": name,
+                "row0": rr0,
+                "col0": cc0,
+                "height": height,
+                "width": width,
+                "empty": height == 0 or width == 0,
+            }
+        )
+    if img_h > 3900:
+        resizes = [(1920 / img_h, 1080 / img_w), (854 / img_h, 640 / img_h)]
+    elif img_h > 1800:
+        resizes = [(854 / img_h, 640 / img_h)]
+    else:
+        resizes = []
+    return variants, resizes

@@ -92,6 +92,31 @@ def test_dup_clusters_on_chained_graph(spark):
         dedup.dup_clusters(dummy_docs, max_iters=2, pairs=pairs, check_every=99)
 
 
+def test_dup_clusters_releases_superseded_rounds(spark):
+    """Storage hygiene: the CC loop must NOT retain one label relation
+    per round (at 20 rounds x 100 TB that's 20 cached copies). After
+    the call, at most the FINAL labels checkpoint may remain persisted
+    beyond what was already there."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    # diameter-10 path graph => ~10 propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    dummy_docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = dedup.dup_clusters(dummy_docs, max_iters=20, pairs=pairs)
+    assert out.count() == 11  # consume: all rounds ran and materialized
+    leaked = n_persisted() - before
+    assert leaked <= 1, (
+        f"{leaked} checkpointed relations retained after dup_clusters — "
+        "superseded rounds/edges are not being released"
+    )
+
+
 def test_banded_pairs_have_verified_jaccard_path(spark, docs):
     """Funnel sanity: candidates from the banded join can be verified
     with exact Jaccard restricted to the candidate set; pairs sharing

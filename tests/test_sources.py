@@ -95,3 +95,42 @@ def test_filename_label_scan(spark, tmp_path):
         )
     )
     assert sorted(r["label"] for r in df.collect()) == ["12+3=15", "9x9=81"]
+
+
+def test_crop_margin_variants_recipe():
+    """F22 margin-expansion recipe (reference inference.py:470-522):
+    variant set gated on label length, expansion arithmetic, the
+    unclamped negative-start numpy quirk, and the height-keyed resize
+    ladder (including the both-over-height second pair)."""
+    from ocr_spark.sources.media import crop_margin_variants
+
+    # interior box, short label -> 3 variants, no resizes (h <= 1800)
+    variants, resizes = crop_margin_variants(
+        (100, 70, 200, 105), "12+3=15", img_h=1080, img_w=1920
+    )
+    assert [v["variant"] for v in variants] == ["tight", "margin_5", "margin_3"]
+    t, m5, m3 = variants
+    assert (t["row0"], t["col0"], t["height"], t["width"]) == (70, 100, 36, 101)
+    # h=35 -> dv=5; w=100 -> d5=20, d3=33
+    assert (m5["row0"], m5["col0"], m5["height"], m5["width"]) == (65, 80, 46, 141)
+    assert (m3["row0"], m3["col0"], m3["height"], m3["width"]) == (65, 67, 46, 167)
+    assert resizes == []
+
+    # long label (>10 chars) -> margin_3 suppressed
+    variants, _ = crop_margin_variants(
+        (100, 70, 200, 105), "123+456=579x", img_h=1080, img_w=1920
+    )
+    assert [v["variant"] for v in variants] == ["tight", "margin_5"]
+
+    # top-edge box: expanded start goes negative -> numpy wraps to
+    # img_h-5, past the stop -> EMPTY crop (reference writes a 0-size jpg)
+    variants, _ = crop_margin_variants((100, 2, 200, 37), "9", 1080, 1920)
+    m5 = variants[1]
+    assert m5["row0"] == 1080 - 3 and m5["empty"]
+
+    # resize ladder: >3900 two pairs (second divides BOTH by height);
+    # >1800 one pair
+    _, r2 = crop_margin_variants((0, 0, 10, 10), "9", 4000, 3000)
+    assert r2 == [(1920 / 4000, 1080 / 3000), (854 / 4000, 640 / 4000)]
+    _, r1 = crop_margin_variants((0, 0, 10, 10), "9", 2000, 1500)
+    assert r1 == [(854 / 2000, 640 / 2000)]
