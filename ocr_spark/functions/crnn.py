@@ -126,9 +126,18 @@ def _conv2d_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 
 def _maxpool(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Elementwise max over ph*pw strided views — value-identical to
+    the reshape-reduce form but ~5x faster (no 5-D intermediate; pure
+    max, so no float-order concerns at all)."""
     c, h, w = x.shape
     h2, w2 = h // ph, w // pw
-    return x[:, : h2 * ph, : w2 * pw].reshape(c, h2, ph, w2, pw).max(axis=(2, 4))
+    v = x[:, : h2 * ph, : w2 * pw]
+    out = None
+    for i in range(ph):
+        for j in range(pw):
+            s = v[:, i::ph, j::pw]
+            out = s.copy() if out is None else np.maximum(out, s, out=out)
+    return out
 
 
 def sequence_length(width: int) -> int:
@@ -200,13 +209,53 @@ def stack_context(feats: np.ndarray, r: int = _CTX) -> np.ndarray:
     return np.concatenate([padded[i : i + t] for i in range(2 * r + 1)], axis=1)
 
 
+def _head_blocks(weights: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Shift-sum form of the classifier head, derived once per worker
+    and memoized inside the (worker-local) weights dict.
+
+    The context-stacked product ``[ctx | 1] @ cls_w`` reads a
+    [T, (2r+1)D+1] matrix that is 2r+1 shifted COPIES of the same
+    [T, D] features (~1 MB/crop at D=96 — the cache-bound traffic
+    BENCH r2/r3 profiled). Algebraically the same logits are
+    ``sum_o padded[t+o] @ W_o + bias`` — so compute ONE matmul of the
+    padded features against the column-concatenated blocks
+    [D, (2r+1)C] (C=22 classes, ~4x narrower than 9D) and add 2r+1
+    shifted [T, C] slices. Identical dot products up to summation
+    order; the round(p, 10) quantization below absorbs that, keeping
+    decode bit-identical (asserted against the stacked path and the
+    frozen fixtures by test_crnn)."""
+    cls_w = weights["cls_w"]
+    cached = weights.get("_head_blocks")
+    if cached is None or cached[2] is not cls_w:  # stale if cls_w swapped
+        d = (cls_w.shape[0] - 1) // (2 * _CTX + 1)
+        wcat = np.ascontiguousarray(
+            cls_w[:-1]
+            .reshape(2 * _CTX + 1, d, cls_w.shape[1])
+            .transpose(1, 0, 2)
+            .reshape(d, -1)
+        )
+        cached = (wcat, cls_w[-1], cls_w)
+        weights["_head_blocks"] = cached
+    return cached[0], cached[1]
+
+
 def class_probs(feats: np.ndarray, weights: dict) -> np.ndarray:
     """[T, D] features -> [T, N_CLASSES] softmax probabilities through
-    the context-stacked linear classifier head (bias folded in as an
-    augmented all-ones feature)."""
-    ctx = stack_context(feats)
-    aug = np.concatenate([ctx, np.ones((len(ctx), 1))], axis=1)
-    logits = weights["gain"] * (aug @ weights["cls_w"])
+    the context-window linear classifier head (shift-sum form, see
+    _head_blocks; bias folded in as an augmented all-ones feature in
+    the reference stacked form)."""
+    wcat, bias = _head_blocks(weights)
+    t, d = feats.shape
+    r = _CTX
+    c = wcat.shape[1] // (2 * r + 1)
+    padded = np.concatenate(
+        [np.zeros((r, d)), feats, np.zeros((r, d))], axis=0
+    )
+    p = padded @ wcat  # [t + 2r, (2r+1)*C]
+    acc = np.tile(bias, (t, 1))
+    for i in range(2 * r + 1):
+        acc += p[i : i + t, i * c : (i + 1) * c]
+    logits = weights["gain"] * acc
     logits -= logits.max(axis=1, keepdims=True)
     e = np.exp(logits)
     p = e / e.sum(axis=1, keepdims=True)
@@ -214,7 +263,20 @@ def class_probs(feats: np.ndarray, weights: dict) -> np.ndarray:
     # pinned executor threads by ~1e-15 relative — enough to flip a
     # near-tied beam ordering. 10-decimal rounding is 5 orders above
     # the noise floor and far below any decision margin, so decode is
-    # bit-identical wherever the forward pass runs.
+    # bit-identical wherever (and in whichever algebraic form) the
+    # forward pass runs.
+    return np.round(p, 10)
+
+
+def _class_probs_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
+    """Reference stacked-context head (the literal [ctx | 1] @ cls_w
+    product) — kept for the head-equivalence test and A/B harnesses."""
+    ctx = stack_context(feats)
+    aug = np.concatenate([ctx, np.ones((len(ctx), 1))], axis=1)
+    logits = weights["gain"] * (aug @ weights["cls_w"])
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    p = e / e.sum(axis=1, keepdims=True)
     return np.round(p, 10)
 
 
@@ -256,6 +318,9 @@ def forward_probs(img: np.ndarray, weights: dict) -> np.ndarray:
 import os as _os  # noqa: E402
 
 _MAX_CROPS = int(_os.environ.get("OCR_SPARK_MAX_CROPS", "1"))
+# classifier-head form: 'shiftsum' (default; one narrow matmul + 2r+1
+# shifted adds) or 'stacked' (literal [ctx|1]@cls_w) — round(10)-equal
+_HEAD_IMPL = _os.environ.get("OCR_SPARK_HEAD", "shiftsum")
 
 
 def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
@@ -275,13 +340,17 @@ def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 
 def _maxpool_batch(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Strided-view max like ``_maxpool`` (value-identical, no 6-D
+    intermediate)."""
     n, c, h, w = x.shape
     h2, w2 = h // ph, w // pw
-    return (
-        x[:, :, : h2 * ph, : w2 * pw]
-        .reshape(n, c, h2, ph, w2, pw)
-        .max(axis=(3, 5))
-    )
+    v = x[:, :, : h2 * ph, : w2 * pw]
+    out = None
+    for i in range(ph):
+        for j in range(pw):
+            s = v[:, :, i::ph, j::pw]
+            out = s.copy() if out is None else np.maximum(out, s, out=out)
+    return out
 
 
 def conv_features_batch(imgs: np.ndarray, weights: dict) -> np.ndarray:
@@ -318,10 +387,9 @@ def recurrent_mix_batch(
     return feats + alpha * (out[0] + out[1])
 
 
-def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
-    """[N, T, D] -> [N, T, N_CLASSES]: context stack + ONE classifier
-    matmul for the whole sub-batch + softmax, round(10)-quantized like
-    the single-crop path."""
+def _class_probs_batch_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
+    """Stacked-context batch head (pre-shift-sum form) — kept for the
+    cold-JVM A/B harness (tools/ab_head.py) and equivalence tests."""
     n, t, d = feats.shape
     r = _CTX
     padded = np.concatenate(
@@ -336,6 +404,33 @@ def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
     e = np.exp(logits)
     p = e / e.sum(axis=1, keepdims=True)
     return np.round(p, 10).reshape(n, t, -1)
+
+
+def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
+    """[N, T, D] -> [N, T, N_CLASSES]: shift-sum classifier head (see
+    _head_blocks) with ONE matmul for the whole sub-batch + softmax,
+    round(10)-quantized like the single-crop path. Env knob
+    OCR_SPARK_HEAD=stacked restores the context-stacked product for
+    A/B runs (tools/ab_head.py) — both forms round(10)-identical."""
+    if _HEAD_IMPL == "stacked":
+        return _class_probs_batch_stacked(feats, weights)
+    n, t, d = feats.shape
+    r = _CTX
+    wcat, bias = _head_blocks(weights)
+    c = wcat.shape[1] // (2 * r + 1)
+    padded = np.concatenate(
+        [np.zeros((n, r, d)), feats, np.zeros((n, r, d))], axis=1
+    )
+    p = padded.reshape(n * (t + 2 * r), d) @ wcat
+    p = p.reshape(n, t + 2 * r, -1)
+    acc = np.tile(bias, (n, t, 1))
+    for i in range(2 * r + 1):
+        acc += p[:, i : i + t, i * c : (i + 1) * c]
+    logits = weights["gain"] * acc
+    logits -= logits.max(axis=2, keepdims=True)
+    e = np.exp(logits)
+    p = e / e.sum(axis=2, keepdims=True)
+    return np.round(p, 10)
 
 
 def forward_probs_batch(imgs: list, weights: dict) -> list:

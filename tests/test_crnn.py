@@ -79,6 +79,20 @@ def test_every_weight_tensor_matters(weights):
         assert not np.array_equal(base, crnn.forward_probs(img, w2)), key
 
 
+def test_shiftsum_head_equals_stacked(weights):
+    """The shift-sum classifier head (one narrow matmul + 2r+1 shifted
+    adds) is bit-identical AFTER round(10) quantization to the literal
+    context-stacked product — the algebraic identity that removes the
+    ~1 MB/crop context materialization without touching decode."""
+    for i, lab in enumerate(["12+3=15", "", "9", "(4+5", "123÷4=30*3"]):
+        img = crnn.render_label(lab, seed=i)
+        feats = crnn.recurrent_mix(crnn.conv_features(img, weights), weights["wh"])
+        assert np.array_equal(
+            crnn.class_probs(feats, weights),
+            crnn._class_probs_stacked(feats, weights),
+        ), lab
+
+
 def test_char_frame_range_covers_glyphs(weights):
     img = crnn.render_label("12", seed=0)
     t_total = crnn.sequence_length(img.shape[1])

@@ -173,7 +173,7 @@ def main() -> None:
     # the true max (a prefix sample observing the mega doc is a corpus-
     # size accident) — and the child asserts the mega doc actually
     # crosses the threshold, so the 'auto(splits mega)' label is honest.
-    for label, cpus, h, salt, src, mstats in [
+    configs = [
         ("local[4]", 4, "auto", "auto", corpus, "sample"),
         (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus, "sample"),
         ("local[16]", 16, "auto", "auto", corpus, "sample"),
@@ -184,16 +184,29 @@ def main() -> None:
         (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted, "sample"),
         (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega, "sample"),
         (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega, "exact"),
-    ]:
-        walls = []
-        reps = args.timed  # real kernel: 3 cold-JVM medians per config
-        for _ in range(reps):
+    ]
+    loadavg_start = os.getloadavg()
+    walls_by_label: dict[str, list[float]] = {}
+    # INTERLEAVED reps: one full pass over every config per rep, so
+    # co-tenant drift over the ~45-min protocol hits every config
+    # equally instead of landing on whichever config happened to run
+    # during the noisy window (the r3 artifact's failure mode)
+    for rep in range(args.timed):
+        for label, cpus, h, salt, src, mstats in configs:
             r = run_once(
                 src, out, cpus, h, salt,
                 media_stats=mstats,
                 assert_mega_heavy=(src == corpus_mega and h == "auto"),
             )
-            walls.append(r["wall_s"])
+            walls_by_label.setdefault(label, []).append(r["wall_s"])
+            print(
+                f"rep {rep + 1}/{args.timed} {label}: {r['wall_s']:.1f}s "
+                f"loadavg={tuple(round(x, 1) for x in os.getloadavg())}",
+                flush=True,
+            )
+    loadavg_end = os.getloadavg()
+    for label, cpus, h, salt, src, mstats in configs:
+        walls = walls_by_label[label]
         med = statistics.median(walls)
         results[label] = {
             "cpus": cpus,
@@ -227,7 +240,10 @@ def main() -> None:
         "target": 0.8,
         "protocol": "cold JVM per run with an in-session 64-doc "
         "python-worker warm-up excluded from the timed region, "
-        f"{args.timed} timed runs, median; same staged corpus for every run",
+        f"{args.timed} timed runs INTERLEAVED across configs, median; "
+        "same staged corpus for every run",
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in loadavg_end],
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=2)
@@ -258,7 +274,10 @@ measures the engine itself.
 Protocol (BASELINE.md): cold JVM per run; a 128-document warm-up job
 inside each session heats the python workers (imports/Arrow/JIT are a
 per-executor one-time constant, not a throughput term) and is excluded
-from the timed region; {args.timed} timed runs, median reported.
+from the timed region; {args.timed} timed runs INTERLEAVED across all
+configs (co-tenant drift hits every config equally), median reported.
+Box loadavg (1/5/15 min): {tuple(round(x, 2) for x in loadavg_start)} at start,
+{tuple(round(x, 2) for x in loadavg_end)} at end of the timed window.
 Job = read parquet corpus -> extract(salt='auto',
 heavy_threshold='auto') -> write parquet.
 
