@@ -115,9 +115,21 @@ def render_label(label: str, seed: int) -> np.ndarray:
 def _conv2d_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     """x [Cin, H, W], k [Cout, Cin, 3, 3] -> [Cout, H-2, W-2] via
     im2col + one BLAS matmul (the fast path: this is where the
-    compute budget goes, as in the real model)."""
+    compute budget goes, as in the real model). With
+    OCR_SPARK_CONV=shiftsum and Cin > 1, the multi-channel conv runs
+    as 9 channel-matmuls over strided views instead — no Cin*9-wide
+    im2col materialization (~1.5 MB/crop for conv2); values differ
+    only in summation order, which the classifier's round(10)
+    quantization absorbs (fixture-asserted)."""
     cin, h, w = x.shape
     cout = k.shape[0]
+    if _CONV_IMPL == "shiftsum" and cin > 1:
+        out = np.zeros((cout, h - 2, w - 2))
+        for di in range(3):
+            for dj in range(3):
+                sl = x[:, di : di + h - 2, dj : dj + w - 2]
+                out += np.tensordot(k[:, :, di, dj], sl, axes=([1], [0]))
+        return out
     windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(1, 2))
     # windows: [Cin, H-2, W-2, 3, 3] -> [(H-2)*(W-2), Cin*9]
     cols = windows.transpose(1, 2, 0, 3, 4).reshape((h - 2) * (w - 2), cin * 9)
@@ -321,15 +333,29 @@ _MAX_CROPS = int(_os.environ.get("OCR_SPARK_MAX_CROPS", "1"))
 # classifier-head form: 'shiftsum' (default; one narrow matmul + 2r+1
 # shifted adds) or 'stacked' (literal [ctx|1]@cls_w) — round(10)-equal
 _HEAD_IMPL = _os.environ.get("OCR_SPARK_HEAD", "shiftsum")
+# multi-channel conv form: 'im2col' (default) or 'shiftsum' (9 strided
+# channel-matmuls, no im2col materialization) — round(10)-equal decode
+_CONV_IMPL = _os.environ.get("OCR_SPARK_CONV", "im2col")
 
 
 def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     """x [N, Cin, H, W], k [Cout, Cin, 3, 3] -> [N, Cout, H-2, W-2]:
     the batched twin of ``_conv2d_valid`` (one im2col + one matmul for
     the whole stack; row i*(H-2)(W-2)+j is exactly the single-crop
-    path's row j of crop i)."""
+    path's row j of crop i). Honors OCR_SPARK_CONV=shiftsum for
+    Cin > 1 like the single-crop path."""
     n, cin, h, w = x.shape
     cout = k.shape[0]
+    if _CONV_IMPL == "shiftsum" and cin > 1:
+        out = np.zeros((n, cout, h - 2, w - 2))
+        for di in range(3):
+            for dj in range(3):
+                sl = x[:, :, di : di + h - 2, dj : dj + w - 2]
+                # [N, H-2, W-2, Cout] <- [N, Cin, ...] x [Cout, Cin]
+                out += np.tensordot(sl, k[:, :, di, dj], axes=([1], [1])).transpose(
+                    0, 3, 1, 2
+                )
+        return out
     windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(2, 3))
     # [N, Cin, H-2, W-2, 3, 3] -> [N*(H-2)*(W-2), Cin*9]
     cols = windows.transpose(0, 2, 3, 1, 4, 5).reshape(

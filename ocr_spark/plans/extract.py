@@ -157,11 +157,13 @@ def extract(
       prefix sample.
 
     ``salt``/``scan_partitions``: the light-path repartition runs only
-    when the scan has fewer partitions than the cluster parallelism;
-    ``scan_partitions`` supplies that number from the caller (who knows
-    the layout), else it is derived from ``inputFiles()`` — a
-    metadata-only lookup — for file-backed sources; sources that are
-    neither (e.g. a generated range) are assumed already parallel."""
+    when the scan yields fewer than ~4 task waves per core (below
+    that, per-partition work variance leaves an unsmoothable straggler
+    tail — see the inline rule note); ``scan_partitions`` supplies the
+    partition count from the caller (who knows the layout), else it is
+    derived from ``inputFiles()`` — a metadata-only lookup — for
+    file-backed sources; sources that are neither (e.g. a generated
+    range) are uniformly distributed by construction and never salt."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     buckets = buckets or parallelism * 2
@@ -216,8 +218,18 @@ def extract(
     if salt == "auto":
         if scan_partitions is None:
             files = docs.inputFiles()
-            scan_partitions = len(files) if files else parallelism
-        salt = scan_partitions < parallelism
+            # non-file sources (a generated range) are uniformly
+            # distributed by construction: no salt
+            scan_partitions = len(files) if files else 4 * parallelism
+        # salt when the scan yields fewer than ~4 task WAVES per core:
+        # with 1-2 waves, per-partition work variance (media-heavy docs
+        # landing unevenly) leaves a straggler tail that scheduling
+        # cannot smooth — measured 1.32x at local[32] on a 64-partition
+        # random-layout corpus (BENCH/NOTES_r4.md §4); with >=4 waves
+        # the scheduler absorbs the variance and the shuffle is pure
+        # cost. At production scale (scan partitions >> 4x total cores)
+        # the rule never fires — bucketing the table stays the plan.
+        salt = scan_partitions < 4 * parallelism
 
     if heavy_threshold is None:
         light = docs.drop("_n_media")
