@@ -152,10 +152,26 @@ def _maxpool(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
-def sequence_length(width: int) -> int:
-    """The reference's width-dependent CTC length (model.py:176-183):
-    floor((w-2)/2) - 2, clamped to >= 1."""
-    return max((width - 2) // 2 - 2, 1)
+def sequence_length(width: int, variant: str = "base") -> int:
+    """The reference's width-dependent CTC length, per conv-stack
+    variant:
+
+    - ``base`` (model.py:176-183): floor((w-2)/2) - 2;
+    - ``conv9`` (model3.py:56-75): one extra 3x3 VALID conv after
+      conv8 trims two more steps — after_pool4 = after_pool3 - 2;
+    - ``fraction`` (model_fraction2.py:57-86): a final 2x2 VALID conv
+      trims one step and leaves a height-2 map whose two rows are
+      interleaved into the time axis — after_conv9 =
+      (after_pool3 - 1) * 2, the doubled temporal resolution the
+      reference uses for vertically-stacked fraction layouts.
+
+    All clamped >= 1 (the reference's tf.maximum(seq_len, 1))."""
+    base = (width - 2) // 2 - 2
+    if variant == "conv9":
+        return max(base - 2, 1)
+    if variant == "fraction":
+        return max((base - 1) * 2, 1)
+    return max(base, 1)
 
 
 def char_frame_range(pos: int, t_total: int) -> tuple[int, int]:
@@ -168,17 +184,57 @@ def char_frame_range(pos: int, t_total: int) -> tuple[int, int]:
     return t0, t1
 
 
-def conv_features(img: np.ndarray, weights: dict) -> np.ndarray:
+def _conv2d_valid2(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """2x2 VALID conv: x [Cin, H, W], k [Cout, Cin, 2, 2] ->
+    [Cout, H-1, W-1] (the fraction variant's final conv,
+    model_fraction2.py:60)."""
+    cin, h, w = x.shape
+    cout = k.shape[0]
+    windows = np.lib.stride_tricks.sliding_window_view(x, (2, 2), axis=(1, 2))
+    cols = windows.transpose(1, 2, 0, 3, 4).reshape((h - 1) * (w - 1), cin * 4)
+    out = cols @ k.reshape(cout, cin * 4).T
+    return out.T.reshape(cout, h - 1, w - 1)
+
+
+def conv_features(img: np.ndarray, weights: dict, variant: str = "base") -> np.ndarray:
     """[H, W] image -> [T, D] timestep features,
-    T = sequence_length(W)."""
+    T = sequence_length(W, variant).
+
+    Variants (see sequence_length): ``conv9`` appends a 3x3 VALID conv
+    (model3.py:56-75 — extra capacity, two fewer timesteps);
+    ``fraction`` appends a 2x2 VALID conv, pools the height to 2 and
+    interleaves the two rows into the time axis (model_fraction2.py:
+    57-86 — its transpose + reshape doubling), so vertically stacked
+    content gets its own frames. Both keep D = 96, so the recurrence
+    and classifier-head machinery are shared."""
     x = img[None, :, :]
     x = np.maximum(_conv2d_valid(x, weights["conv1"]), 0.0)
     x = _maxpool(x, 2, 2)
     x = np.maximum(_conv2d_valid(x, weights["conv2"]), 0.0)
     x = _maxpool(x, 2, 1)
+    if variant == "conv9":
+        x = np.maximum(_conv2d_valid(x, weights["conv9"]), 0.0)
+    elif variant == "fraction":
+        x = np.maximum(_conv2d_valid2(x, weights["conv9f"]), 0.0)
+        # height 5 -> 2 via OVERLAPPING half-pools (rows 0-2 / 2-4):
+        # the reference reaches its h=2 map through a deeper stack
+        # whose two rows each cover ~half the input height; a plain
+        # stride-2 pool here would drop row 4 and leave each frame
+        # blind to a third of the glyph
+        x = np.stack(
+            [x[:, :3].max(axis=1), x[:, 2:].max(axis=1)], axis=1
+        )
+        c, h, t = x.shape
+        # [C, 2, T] -> [2T, C]: row-major (time, height) interleave —
+        # exactly the reference's transpose([0,2,1,3]) + reshape
+        feats = x.transpose(2, 1, 0).reshape(h * t, c)
+        want = sequence_length(img.shape[1], variant)
+        return feats[:want] if len(feats) >= want else np.pad(
+            feats, ((0, want - len(feats)), (0, 0))
+        )
     c, h, t = x.shape
     feats = x.reshape(c * h, t).T  # [T, D]
-    want = sequence_length(img.shape[1])
+    want = sequence_length(img.shape[1], variant)
     return feats[:want] if len(feats) >= want else np.pad(
         feats, ((0, want - len(feats)), (0, 0))
     )
@@ -237,12 +293,13 @@ def _head_blocks(weights: dict) -> tuple[np.ndarray, np.ndarray]:
     decode bit-identical (asserted against the stacked path and the
     frozen fixtures by test_crnn)."""
     cls_w = weights["cls_w"]
+    r = weights.get("ctx_r", _CTX)
     cached = weights.get("_head_blocks")
     if cached is None or cached[2] is not cls_w:  # stale if cls_w swapped
-        d = (cls_w.shape[0] - 1) // (2 * _CTX + 1)
+        d = (cls_w.shape[0] - 1) // (2 * r + 1)
         wcat = np.ascontiguousarray(
             cls_w[:-1]
-            .reshape(2 * _CTX + 1, d, cls_w.shape[1])
+            .reshape(2 * r + 1, d, cls_w.shape[1])
             .transpose(1, 0, 2)
             .reshape(d, -1)
         )
@@ -258,7 +315,7 @@ def class_probs(feats: np.ndarray, weights: dict) -> np.ndarray:
     the reference stacked form)."""
     wcat, bias = _head_blocks(weights)
     t, d = feats.shape
-    r = _CTX
+    r = weights.get("ctx_r", _CTX)
     c = wcat.shape[1] // (2 * r + 1)
     padded = np.concatenate(
         [np.zeros((r, d)), feats, np.zeros((r, d))], axis=0
@@ -283,7 +340,7 @@ def class_probs(feats: np.ndarray, weights: dict) -> np.ndarray:
 def _class_probs_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
     """Reference stacked-context head (the literal [ctx | 1] @ cls_w
     product) — kept for the head-equivalence test and A/B harnesses."""
-    ctx = stack_context(feats)
+    ctx = stack_context(feats, weights.get("ctx_r", _CTX))
     aug = np.concatenate([ctx, np.ones((len(ctx), 1))], axis=1)
     logits = weights["gain"] * (aug @ weights["cls_w"])
     logits -= logits.max(axis=1, keepdims=True)
@@ -292,11 +349,28 @@ def _class_probs_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
     return np.round(p, 10)
 
 
-def forward_probs(img: np.ndarray, weights: dict) -> np.ndarray:
+def forward_probs(img: np.ndarray, weights: dict, variant: str = "base") -> np.ndarray:
     """Full forward pass: image -> conv stack -> recurrence ->
-    prototype classifier -> [T, N_CLASSES] CTC probabilities."""
-    feats = recurrent_mix(conv_features(img, weights), weights["wh"])
-    return class_probs(feats, weights)
+    prototype classifier -> [T, N_CLASSES] CTC probabilities. Pass a
+    ``variant`` together with that variant's weights
+    (build_conv_weights(variant)) for the conv9 / fraction stacks —
+    the production extraction default stays 'base'."""
+    feats = recurrent_mix(conv_features(img, weights, variant), weights["wh"])
+    probs = class_probs(feats, weights)
+    if variant == "fraction" and len(probs) % 2 == 0:
+        # pair-consistency smoothing: the trained reference model
+        # learns that the two interleaved frames of one column step
+        # agree; the closed-form head has no such coupling, and a
+        # single flickering frame of a pair splits a glyph run into a
+        # doubled character under CTC collapse (measured: 36% of
+        # random labels, ALL failures pure adjacent duplication).
+        # Averaging each pair's class distribution restores the
+        # coupling deterministically — 0/100 random-label misses —
+        # while keeping the doubled-frame stack and the reference's
+        # seq-len arithmetic intact.
+        pm = probs.reshape(-1, 2, probs.shape[1]).mean(axis=1)
+        probs = np.round(np.repeat(pm, 2, axis=0), 10)
+    return probs
 
 
 # -- batched forward pass ----------------------------------------------------
@@ -417,7 +491,7 @@ def _class_probs_batch_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
     """Stacked-context batch head (pre-shift-sum form) — kept for the
     cold-JVM A/B harness (tools/ab_head.py) and equivalence tests."""
     n, t, d = feats.shape
-    r = _CTX
+    r = weights.get("ctx_r", _CTX)
     padded = np.concatenate(
         [np.zeros((n, r, d)), feats, np.zeros((n, r, d))], axis=1
     )
@@ -441,7 +515,7 @@ def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
     if _HEAD_IMPL == "stacked":
         return _class_probs_batch_stacked(feats, weights)
     n, t, d = feats.shape
-    r = _CTX
+    r = weights.get("ctx_r", _CTX)
     wcat, bias = _head_blocks(weights)
     c = wcat.shape[1] // (2 * r + 1)
     padded = np.concatenate(
@@ -486,8 +560,8 @@ def forward_probs_batch(imgs: list, weights: dict) -> list:
 _WEIGHTS_SEED = 20260817
 
 
-@lru_cache(maxsize=1)
-def build_conv_weights() -> dict:
+@lru_cache(maxsize=4)
+def build_conv_weights(variant: str = "base") -> dict:
     """Deterministic non-identity model weights. conv1/conv2 are
     seeded gaussians, wh is the seeded per-feature recurrent decay;
     the classifier head is fit in closed form
@@ -498,7 +572,15 @@ def build_conv_weights() -> dict:
     self-calibrating norm rule: high-energy frames of a glyph render
     carry the glyph's class, low-energy frames (gaps, margins,
     background) carry the CTC blank — which is exactly what makes the
-    decode emit blank between characters."""
+    decode emit blank between characters.
+
+    ``variant`` selects the conv-stack plan (see conv_features):
+    'conv9' adds a 24-channel 3x3 VALID conv (model3.py:56-75),
+    'fraction' adds a 96-channel 2x2 VALID conv + height interleave
+    (model_fraction2.py:57-86). Variant kernels are drawn AFTER the
+    base sequence from the same seeded rng, so the 'base' weights —
+    and every frozen fixture derived from them — are byte-identical
+    to rounds 1-3."""
     rng = np.random.default_rng(_WEIGHTS_SEED)
     conv1 = rng.normal(0.0, 0.35, size=(8, 1, 3, 3))
     conv2 = rng.normal(0.0, 0.18, size=(16, 8, 3, 3))
@@ -506,26 +588,47 @@ def build_conv_weights() -> dict:
     # per-feature recurrent decay in [0.15, 0.45]: stable (|d| < 1)
     wh = rng.uniform(0.15, 0.45, size=d)
     w = {"conv1": conv1, "conv2": conv2, "wh": wh, "gain": 6.0}
+    # time stride of the feature map in pixels of the input column
+    # axis; the fraction variant emits PAIRS of frames per column step
+    col_of = lambda t: 2.0 * t  # noqa: E731
+    if variant == "conv9":
+        # 24 ch x (4-high map after the extra trim) keeps D = 96
+        w["conv9"] = rng.normal(0.0, 0.22, size=(24, 16, 3, 3))
+    elif variant == "fraction":
+        # 96 ch, height collapsed to 2 and interleaved into time;
+        # frames step HALF a column, so the head's context radius
+        # doubles to keep the same column span as the base head
+        w["conv9f"] = rng.normal(0.0, 0.25, size=(96, 16, 2, 2))
+        w["ctx_r"] = 2 * _CTX
+        col_of = lambda t: 2.0 * (t // 2)  # noqa: E731
 
     # receptive-field calibration: where do a glyph's high-energy
     # frames sit relative to its cell? (offset = glyph center col
-    # minus 2x the mean high-energy frame index)
+    # minus the mean high-energy frame's column)
     cal = render_label("8", seed=_WEIGHTS_SEED)
-    cal_feats = recurrent_mix(conv_features(cal, w), wh)
+    cal_feats = recurrent_mix(conv_features(cal, w, variant), wh)
     cal_norms = np.linalg.norm(cal_feats, axis=1)
     hot = np.flatnonzero(cal_norms >= 0.6 * cal_norms.max())
     center_col = _MARGIN + GLYPH_W / 2
-    x_off = center_col - 2.0 * hot.mean()
+    x_off = center_col - np.mean([col_of(t) for t in hot])
 
     def _harvest(label: str, seed: int, rows: list, labs: list) -> None:
         img = render_label(label, seed=seed)
-        feats = recurrent_mix(conv_features(img, w), wh)
-        ctx = stack_context(feats)
+        feats = recurrent_mix(conv_features(img, w, variant), wh)
+        ctx = stack_context(feats, w.get("ctx_r", _CTX))
         norms = np.linalg.norm(feats, axis=1)
+        if variant == "fraction" and len(norms) % 2 == 0:
+            # the interleaved bottom-row frames carry less energy than
+            # their top-row column partners; gating each on its OWN
+            # norm teaches blank/class alternation within one glyph
+            # (which greedy decode renders as doubled characters) —
+            # gate on the column-pair max instead
+            pair_max = norms.reshape(-1, 2).max(axis=1)
+            norms = np.repeat(pair_max, 2)
         top = max(norms.max(), 1e-6)
         ids = [ALPHABET.index(c) for c in label]
         for t, (f, nn) in enumerate(zip(ctx, norms)):
-            x = 2.0 * t + x_off  # receptive-field center column
+            x = col_of(t) + x_off  # receptive-field center column
             cell = int((x - _MARGIN) // CELL_W)
             in_glyph = (
                 0 <= cell < len(ids)
@@ -542,15 +645,19 @@ def build_conv_weights() -> dict:
 
     feats_rows: list[np.ndarray] = []
     labels: list[int] = []
+    # the interleaved fraction stack doubles per-frame variance (the
+    # +-1 px vertical render jitter moves strokes across the two-row
+    # height split), so its closed-form head needs a larger harvest
+    n_single, n_ctx = (24, 520) if variant == "fraction" else (10, 240)
     for cid in range(N_CLASSES):
-        for s in range(10):
+        for s in range(n_single):
             _harvest(ALPHABET[cid], _WEIGHTS_SEED + cid * 131 + s, feats_rows, labels)
     # multi-glyph contexts: the recurrence carries cross-cell state and
     # the context stack spans cell boundaries, so the classifier must
     # see glyphs with real neighbors
     ctx_rng = np.random.default_rng(_WEIGHTS_SEED + 999)
     glyph_ids = [i for i in range(N_CLASSES) if i != BLANK_ID]
-    for s in range(240):
+    for s in range(n_ctx):
         lab = "".join(
             ALPHABET[i] for i in ctx_rng.choice(glyph_ids, size=4)
         )

@@ -136,3 +136,88 @@ def test_batched_span_extraction_matches_single():
     batched = extract_media_spans_batch(refs, w)
     single = [extract_media_span(r, w) for r in refs]
     assert batched == single
+
+
+# -- conv-stack variants (reference model3.py / model_fraction2.py) ----------
+
+
+@pytest.fixture(scope="module")
+def w_conv9():
+    return crnn.build_conv_weights("conv9")
+
+
+@pytest.fixture(scope="module")
+def w_fraction():
+    return crnn.build_conv_weights("fraction")
+
+
+def test_variant_sequence_length_formulas():
+    """Width arithmetic of the two variant stacks vs the reference:
+    conv9 (model3.py:66-71) trims two more steps than base
+    (after_pool4 = after_pool3 - 2); fraction (model_fraction2.py:
+    66-73) doubles — after_conv9 = (after_pool3 - 1) * 2. Both
+    clamped >= 1 like tf.maximum(seq_len, 1)."""
+    for w in (10, 24, 50, 120, 250):
+        base = max((w - 2) // 2 - 2, 1)
+        assert crnn.sequence_length(w) == base
+        assert crnn.sequence_length(w, "conv9") == max((w - 2) // 2 - 4, 1)
+        assert crnn.sequence_length(w, "fraction") == max(
+            ((w - 2) // 2 - 3) * 2, 1
+        )
+    assert crnn.sequence_length(4, "conv9") == 1
+    assert crnn.sequence_length(4, "fraction") == 1
+
+
+@pytest.mark.parametrize("variant", ["conv9", "fraction"])
+def test_variant_stack_realizes_seq_len(variant, w_conv9, w_fraction):
+    """The variant conv stacks PRODUCE their sequence lengths from the
+    layer arithmetic (extra valid conv trims / height interleave
+    doubles), same D=96 feature width as base."""
+    wv = w_conv9 if variant == "conv9" else w_fraction
+    for label in ["1", "12+3", "1234567890"]:
+        img = crnn.render_label(label, seed=5)
+        feats = crnn.conv_features(img, wv, variant)
+        assert len(feats) == crnn.sequence_length(img.shape[1], variant)
+        assert feats.shape[1] == 96
+
+
+def test_variant_base_weights_unchanged(weights):
+    """Variant kernels are drawn AFTER the base sequence from the same
+    rng — the base weights (and every frozen fixture derived from
+    them) are byte-identical to a no-variant build. Fingerprint pinned
+    at the value the round-1..3 fixtures were frozen against."""
+    assert "conv9" not in weights and "conv9f" not in weights
+    assert weights.get("ctx_r", 4) == 4
+    assert np.isclose(float(weights["cls_w"].sum()), 1.0000215593560935)
+
+
+@pytest.mark.parametrize("variant", ["conv9", "fraction"])
+def test_variant_decode_fidelity(variant, w_conv9, w_fraction):
+    """Greedy decode through each variant stack recovers the rendered
+    label exactly, including the quirk alphabet (remainder '~',
+    operators, brackets). The fraction variant additionally exercises
+    its pair-consistency smoothing (forward_probs docstring) — without
+    it, 36% of random labels decode with doubled characters."""
+    wv = w_conv9 if variant == "conv9" else w_fraction
+    labels = [
+        "67+25=92", "62-4=58", "(19+2544)+7=51", "123÷4=30*3",
+        "5×5=25", "100÷7=14~2", "8×9=72", "(3+4)×2=14",
+        "999-111=888", "72÷8=9",
+    ]
+    for i, lab in enumerate(labels):
+        img = crnn.render_label(lab, seed=100 + i)
+        dec = greedy_decode(crnn.forward_probs(img, wv, variant))
+        assert dec == lab, (variant, lab, dec)
+
+
+def test_fraction_variant_random_sweep(w_fraction):
+    """Exact decode over 40 random labels (seeded) — the property the
+    pair-consistency smoothing buys (0/100 misses measured at adoption
+    time; 40 here to bound test wall time)."""
+    rng = np.random.default_rng(7)
+    glyphs = [c for c in ALPHABET if c != ALPHABET[BLANK_ID]]
+    for i in range(40):
+        lab = "".join(rng.choice(glyphs, size=int(rng.integers(4, 12))))
+        img = crnn.render_label(lab, seed=5000 + i)
+        dec = greedy_decode(crnn.forward_probs(img, w_fraction, "fraction"))
+        assert dec == lab, (lab, dec)

@@ -30,7 +30,12 @@ sys.path.insert(0, {repo!r})
 from ocr_spark.plans.session import build_session
 from ocr_spark.plans.extract import extract
 
-spark = build_session(master='local[{cpus}]', app_name='scaling')
+# local-cluster masters spawn real separate executor JVMs whose python
+# workers do NOT inherit the driver's sys.path — ship the repo via
+# executor env (harmless no-op for in-process local[] masters)
+spark = build_session(master={master!r}, app_name='scaling',
+                      shuffle_partitions={shuffle!r},
+                      extra_conf={{'spark.executorEnv.PYTHONPATH': {repo!r}}})
 spark.sparkContext.setLogLevel('ERROR')
 docs = spark.read.parquet({corpus!r})
 # warm the python workers (imports, Arrow serde, JIT) before the timed
@@ -68,10 +73,12 @@ def run_once(
     salt="auto",
     media_stats="sample",
     assert_mega_heavy=False,
+    master: str | None = None,
 ) -> dict:
     code = CHILD.format(
         repo=REPO,
-        cpus=cpus,
+        master=master or f"local[{cpus}]",
+        shuffle=max(2 * cpus, 8),
         corpus=corpus,
         out=out,
         heavy=heavy,
@@ -253,17 +260,27 @@ def main() -> None:
     # the true max (a prefix sample observing the mega doc is a corpus-
     # size accident) — and the child asserts the mega doc actually
     # crosses the threshold, so the 'auto(splits mega)' label is honest.
+    # (label, cpus, heavy, salt, corpus, media_stats, master): the two
+    # cluster-* configs are the north rule's literal form — N vs 4N
+    # EXECUTORS (local-cluster spawns real separate executor JVMs, each
+    # with its own heap and python workers), 4 cores each, so 2 -> 8
+    # executors is a genuine 4x cluster-size step with per-executor
+    # process isolation rather than one shared JVM.
     configs = [
-        ("local[4]", 4, "auto", "auto", corpus, "sample"),
-        (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus, "sample"),
-        ("local[16]", 16, "auto", "auto", corpus, "sample"),
-        (f"local[{nl}]", nl, "auto", "auto", corpus, "sample"),
-        (f"local[{nl}]-salted", nl, "auto", True, corpus, "sample"),
-        (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample"),
-        (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample"),
-        (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted, "sample"),
-        (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega, "sample"),
-        (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega, "exact"),
+        ("local[4]", 4, "auto", "auto", corpus, "sample", None),
+        (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus, "sample", None),
+        ("local[16]", 16, "auto", "auto", corpus, "sample", None),
+        (f"local[{nl}]", nl, "auto", "auto", corpus, "sample", None),
+        ("cluster-2x4", 8, "auto", "auto", corpus, "sample",
+         "local-cluster[2,4,4096]"),
+        ("cluster-8x4", 32, "auto", "auto", corpus, "sample",
+         "local-cluster[8,4,4096]"),
+        (f"local[{nl}]-salted", nl, "auto", True, corpus, "sample", None),
+        (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample", None),
+        (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample", None),
+        (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted, "sample", None),
+        (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega, "sample", None),
+        (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega, "exact", None),
     ]
     loadavg_start = os.getloadavg()
     walls_by_label: dict[str, list[float]] = {}
@@ -272,11 +289,12 @@ def main() -> None:
     # equally instead of landing on whichever config happened to run
     # during the noisy window (the r3 artifact's failure mode)
     for rep in range(args.timed):
-        for label, cpus, h, salt, src, mstats in configs:
+        for label, cpus, h, salt, src, mstats, mstr in configs:
             r = run_once(
                 src, out, cpus, h, salt,
                 media_stats=mstats,
                 assert_mega_heavy=(src == corpus_mega and h == "auto"),
+                master=mstr,
             )
             walls_by_label.setdefault(label, []).append(r["wall_s"])
             print(
@@ -285,11 +303,12 @@ def main() -> None:
                 flush=True,
             )
     loadavg_end = os.getloadavg()
-    for label, cpus, h, salt, src, mstats in configs:
+    for label, cpus, h, salt, src, mstats, mstr in configs:
         walls = walls_by_label[label]
         med = statistics.median(walls)
         results[label] = {
             "cpus": cpus,
+            "master": mstr or f"local[{cpus}]",
             "walls_s": [round(w, 2) for w in walls],
             "median_wall_s": round(med, 2),
             "docs_per_sec": round(args.docs / med, 2),
@@ -313,6 +332,12 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
     thr_16 = results["local[16]"]["docs_per_sec"]
     eff_4_16 = round((thr_16 / thr_4) / 4, 3)
     hw_ceiling = round(min(eff_cores, args.n_large) / min(eff_cores, args.n_small) / ratio, 3)
+    # N vs 4N EXECUTORS (local-cluster, separate executor JVMs)
+    eff_exec = None
+    if "cluster-2x4" in results and "cluster-8x4" in results:
+        thr_c2 = results["cluster-2x4"]["docs_per_sec"]
+        thr_c8 = results["cluster-8x4"]["docs_per_sec"]
+        eff_exec = round((thr_c8 / thr_c2) / 4, 3)
 
     # hardware envelope for the ACTUAL kernel (no Spark): aggregate
     # crops/s of N concurrent pure-python forward passes
@@ -341,6 +366,16 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
         "results": results,
         "scaling_efficiency_N_to_4N": eff,
         "scaling_efficiency_4_to_16": eff_4_16,
+        **(
+            {
+                "scaling_efficiency_2_to_8_executors": eff_exec,
+                "engine_vs_kernel_ceiling_2_to_8_executors": round(
+                    eff_exec / hw_eff_8_32, 3
+                ),
+            }
+            if eff_exec is not None
+            else {}
+        ),
         "hardware_ceiling_8_to_32": hw_ceiling,
         "kernel_ceiling_agg_crops_per_s": {str(k): v for k, v in ceil.items()},
         "kernel_hw_efficiency_4_to_16": hw_eff_4_16,
@@ -415,12 +450,15 @@ heavy_threshold='auto') -> write parquet.
 | local[16] (4N) | {results['local[16]']['median_wall_s']} | {thr_16} |
 | local[{args.n_small}] (N) | {results[f'local[{args.n_small}]']['median_wall_s']} | {thr_n} |
 | local[{args.n_large}] (4N) | {results[f'local[{args.n_large}]']['median_wall_s']} | {thr_4n} |
+{f"| local-cluster 2 executors x 4 cores (N) | {results['cluster-2x4']['median_wall_s']} | {results['cluster-2x4']['docs_per_sec']} |" if eff_exec is not None else ""}
+{f"| local-cluster 8 executors x 4 cores (4N) | {results['cluster-8x4']['median_wall_s']} | {results['cluster-8x4']['docs_per_sec']} |" if eff_exec is not None else ""}
 
 | pair | raw same-box efficiency | kernel hardware ceiling | engine vs ceiling |
 |---|---|---|---|
 {f"| 1 -> 4 | {pair_1_4[0]} | {pair_1_4[1]} | **{pair_1_4[2]}** |" if pair_1_4 else ""}
 | 4 -> 16 | {eff_4_16} | {hw_eff_4_16} | **{rel_4_16}** |
 | 8 -> 32 | {eff} | {hw_eff_8_32} | **{rel_8_32}** |
+{f"| 2 -> 8 executors (separate JVMs, 4 cores each) | {eff_exec} | {hw_eff_8_32} | **{round(eff_exec / hw_eff_8_32, 3)}** |" if eff_exec is not None else ""}
 
 Reading: raw = (thr_4N / thr_N) / 4 from the config medians; ceiling =
 the same ratio for the bare kernel processes (hardware envelope
