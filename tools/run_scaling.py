@@ -185,6 +185,13 @@ def main() -> None:
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--n-large", type=int, default=32)
     ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated config labels: run ONLY these (3 interleaved "
+        "reps), merge every other config's stored results from "
+        "BENCH/scaling.json, and regenerate the derived fields + BASELINE.md",
+    )
+    ap.add_argument(
         "--regen",
         action="store_true",
         help="skip the timed protocol: reload BENCH/scaling.json's stored "
@@ -267,6 +274,10 @@ def main() -> None:
     # executors is a genuine 4x cluster-size step with per-executor
     # process isolation rather than one shared JVM.
     configs = [
+        # local[1] anchors the narrowest N -> 4N pair (1 -> 4): its
+        # 1-to-4 ratio pairs with the local[4] medians from the SAME
+        # interleaved window (no cross-window mixing)
+        ("local[1]", 1, "auto", "auto", corpus, "sample", None),
         ("local[4]", 4, "auto", "auto", corpus, "sample", None),
         (f"local[{args.n_small}]", args.n_small, "auto", "auto", corpus, "sample", None),
         ("local[16]", 16, "auto", "auto", corpus, "sample", None),
@@ -275,6 +286,14 @@ def main() -> None:
          "local-cluster[2,4,4096]"),
         ("cluster-8x4", 32, "auto", "auto", corpus, "sample",
          "local-cluster[8,4,4096]"),
+        ("cluster-1x4", 4, "auto", "auto", corpus, "sample",
+         "local-cluster[1,4,4096]"),
+        ("cluster-4x4", 16, "auto", "auto", corpus, "sample",
+         "local-cluster[4,4,4096]"),
+        ("cluster-2x2", 4, "auto", "auto", corpus, "sample",
+         "local-cluster[2,2,4096]"),
+        ("cluster-8x2", 16, "auto", "auto", corpus, "sample",
+         "local-cluster[8,2,4096]"),
         (f"local[{nl}]-salted", nl, "auto", True, corpus, "sample", None),
         (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample", None),
         (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample", None),
@@ -282,6 +301,19 @@ def main() -> None:
         (f"local[{nl}]-megadoc-nosplit", nl, 10**9, False, corpus_mega, "sample", None),
         (f"local[{nl}]-megadoc-auto", nl, "auto", False, corpus_mega, "exact", None),
     ]
+    prior_results: dict[str, dict] = {}
+    if args.only:
+        keep = {x.strip() for x in args.only.split(",")}
+        missing = keep - {c[0] for c in configs}
+        if missing:
+            raise SystemExit(f"unknown config labels: {sorted(missing)}")
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            prior = json.load(f)
+        assert prior["n_docs"] == args.docs, (prior["n_docs"], args.docs)
+        prior_results = {
+            k: v for k, v in prior["results"].items() if k not in keep
+        }
+        configs = [c for c in configs if c[0] in keep]
     loadavg_start = os.getloadavg()
     walls_by_label: dict[str, list[float]] = {}
     # INTERLEAVED reps: one full pass over every config per rep, so
@@ -319,7 +351,9 @@ def main() -> None:
         }
         print(label, results[label], flush=True)
 
-    _finish(args, results, eff_cores, loadavg_start, loadavg_end)
+    _finish(
+        args, {**prior_results, **results}, eff_cores, loadavg_start, loadavg_end
+    )
 
 
 def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
@@ -332,12 +366,30 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
     thr_16 = results["local[16]"]["docs_per_sec"]
     eff_4_16 = round((thr_16 / thr_4) / 4, 3)
     hw_ceiling = round(min(eff_cores, args.n_large) / min(eff_cores, args.n_small) / ratio, 3)
-    # N vs 4N EXECUTORS (local-cluster, separate executor JVMs)
-    eff_exec = None
-    if "cluster-2x4" in results and "cluster-8x4" in results:
-        thr_c2 = results["cluster-2x4"]["docs_per_sec"]
-        thr_c8 = results["cluster-8x4"]["docs_per_sec"]
-        eff_exec = round((thr_c8 / thr_c2) / 4, 3)
+    # N vs 4N EXECUTORS (local-cluster, separate executor JVMs): every
+    # measured (n, 4n)-executor pair at equal cores-per-executor
+    exec_pairs: list[dict] = []
+    for small, large in (
+        ("cluster-1x4", "cluster-4x4"),
+        ("cluster-2x2", "cluster-8x2"),
+        ("cluster-2x4", "cluster-8x4"),
+    ):
+        if small in results and large in results:
+            exec_pairs.append(
+                {
+                    "small": small,
+                    "large": large,
+                    "cores": (results[small]["cpus"], results[large]["cpus"]),
+                    "eff": round(
+                        (
+                            results[large]["docs_per_sec"]
+                            / results[small]["docs_per_sec"]
+                        )
+                        / 4,
+                        3,
+                    ),
+                }
+            )
 
     # hardware envelope for the ACTUAL kernel (no Spark): aggregate
     # crops/s of N concurrent pure-python forward passes
@@ -368,12 +420,14 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
         "scaling_efficiency_4_to_16": eff_4_16,
         **(
             {
-                "scaling_efficiency_2_to_8_executors": eff_exec,
-                "engine_vs_kernel_ceiling_2_to_8_executors": round(
-                    eff_exec / hw_eff_8_32, 3
-                ),
+                "executor_pairs": [
+                    {**p_, "hw_ceiling": round(
+                        ceil[p_["cores"][1]] / ceil[p_["cores"][0]] / 4, 3
+                    )}
+                    for p_ in exec_pairs
+                ]
             }
-            if eff_exec is not None
+            if exec_pairs
             else {}
         ),
         "hardware_ceiling_8_to_32": hw_ceiling,
@@ -402,6 +456,20 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
+    exec_cfg_rows = "".join(
+        f"| local-cluster {lbl.split('-')[1].replace('x', ' executors x ')}"
+        f" cores ({role}) | {results[lbl]['median_wall_s']} |"
+        f" {results[lbl]['docs_per_sec']} |\n"
+        for p_ in exec_pairs
+        for lbl, role in ((p_["small"], "N"), (p_["large"], "4N"))
+    ).rstrip("\n")
+    exec_pair_rows = "".join(
+        f"| {p_['small'].split('-')[1]} -> {p_['large'].split('-')[1]} executors"
+        f" (separate JVMs) | {p_['eff']} |"
+        f" {round(ceil[p_['cores'][1]] / ceil[p_['cores'][0]] / 4, 3)} |"
+        f" **{round(p_['eff'] / (ceil[p_['cores'][1]] / ceil[p_['cores'][0]] / 4), 3)}** |\n"
+        for p_ in exec_pairs
+    ).rstrip("\n")
     r_nl = results[f"local[{nl}]"]
     r_salted = results[f"local[{nl}]-salted"]
     r_split16 = results[f"local[{nl}]-split16"]
@@ -450,20 +518,25 @@ heavy_threshold='auto') -> write parquet.
 | local[16] (4N) | {results['local[16]']['median_wall_s']} | {thr_16} |
 | local[{args.n_small}] (N) | {results[f'local[{args.n_small}]']['median_wall_s']} | {thr_n} |
 | local[{args.n_large}] (4N) | {results[f'local[{args.n_large}]']['median_wall_s']} | {thr_4n} |
-{f"| local-cluster 2 executors x 4 cores (N) | {results['cluster-2x4']['median_wall_s']} | {results['cluster-2x4']['docs_per_sec']} |" if eff_exec is not None else ""}
-{f"| local-cluster 8 executors x 4 cores (4N) | {results['cluster-8x4']['median_wall_s']} | {results['cluster-8x4']['docs_per_sec']} |" if eff_exec is not None else ""}
+{exec_cfg_rows}
 
 | pair | raw same-box efficiency | kernel hardware ceiling | engine vs ceiling |
 |---|---|---|---|
 {f"| 1 -> 4 | {pair_1_4[0]} | {pair_1_4[1]} | **{pair_1_4[2]}** |" if pair_1_4 else ""}
 | 4 -> 16 | {eff_4_16} | {hw_eff_4_16} | **{rel_4_16}** |
 | 8 -> 32 | {eff} | {hw_eff_8_32} | **{rel_8_32}** |
-{f"| 2 -> 8 executors (separate JVMs, 4 cores each) | {eff_exec} | {hw_eff_8_32} | **{round(eff_exec / hw_eff_8_32, 3)}** |" if eff_exec is not None else ""}
+{exec_pair_rows}
 
 Reading: raw = (thr_4N / thr_N) / 4 from the config medians; ceiling =
 the same ratio for the bare kernel processes (hardware envelope
 section); engine vs ceiling = raw / ceiling, the share of the
-physically available scaling the ENGINE delivers. Against the >= 0.8
+physically available scaling the ENGINE delivers.
+{f'''The EXECUTOR pairs are the north rule's literal form in this
+sandbox: local-cluster mode spawns real separate executor JVMs (own
+heap, own python workers, driver only coordinating), so N -> 4N
+executors at fixed cores-per-executor is a genuine 4x cluster-size
+step with per-executor process isolation.
+''' if exec_pairs else ''}Against the >= 0.8
 target: {'the 1 -> 4 pair meets it at ' + str(pair_1_4[0]) + ' raw; ' if pair_1_4 and pair_1_4[0] >= 0.8 else ''}the
 4 -> 16 and 8 -> 32 raw numbers read {eff_4_16} and {eff} — the
 per-pair decomposition below shows where the gap sits: the scaling
