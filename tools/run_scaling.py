@@ -144,37 +144,48 @@ def _ceiling_worker(q, seconds: float) -> None:
     q.put(n / seconds)
 
 
-def kernel_ceiling(seconds: float = 8.0) -> dict[int, float]:
+def kernel_ceiling(seconds: float = 8.0, sweeps: int = 3) -> dict[int, float]:
     """Hardware envelope for THE ACTUAL recognition kernel: aggregate
     crops/sec of N concurrent pure-python processes (no Spark) each
     running the real forward pass pinned to one BLAS thread.
 
     The naive core-count ceiling overstates what the box can deliver:
     per-core throughput drops with active-core count (turbo droop,
-    shared L3/DRAM — measured 513 -> 428 -> 364 crops/s/core at
-    4/16/32 procs on this host), so an N -> 4N efficiency target
-    measured by widening ONE box bakes that hardware droop in. A real
+    shared L3/DRAM), so an N -> 4N efficiency target measured by
+    widening ONE box bakes that hardware droop in. A real
     multi-executor cluster adds DRAM and cache with every node and
     does not pay it. This function measures the droop with zero
     engine code in the loop; the engine's measured efficiency divided
-    by this ceiling is the engine's own contribution."""
+    by this ceiling is the engine's own contribution.
+
+    A ceiling is a SUPREMUM of hardware capability, and this guest's
+    loadavg cannot see host-level co-tenancy (one probe read 3.4k
+    aggregate crops/s at 32 procs minutes after an identically-idle
+    window read 16k) — so the sweep over proc counts runs ``sweeps``
+    times INTERLEAVED and each level keeps its MAX: interference only
+    ever subtracts from a capability measurement, never adds."""
     import multiprocessing as mp
 
     out: dict[int, float] = {}
-    for nproc in (1, 4, 8, 16, 32):
-        q = mp.Queue()
-        ps = [
-            mp.Process(target=_ceiling_worker, args=(q, seconds))
-            for _ in range(nproc)
-        ]
-        for p in ps:
-            p.start()
-        rates = [q.get() for _ in ps]
-        for p in ps:
-            p.join()
-        out[nproc] = round(sum(rates), 1)
-        print(f"kernel ceiling {nproc} procs: {out[nproc]} crops/s aggregate",
-              flush=True)
+    for sweep in range(sweeps):
+        for nproc in (1, 4, 8, 16, 32):
+            q = mp.Queue()
+            ps = [
+                mp.Process(target=_ceiling_worker, args=(q, seconds))
+                for _ in range(nproc)
+            ]
+            for p in ps:
+                p.start()
+            rates = [q.get() for _ in ps]
+            for p in ps:
+                p.join()
+            agg = round(sum(rates), 1)
+            out[nproc] = max(out.get(nproc, 0.0), agg)
+            print(
+                f"kernel ceiling sweep {sweep + 1}/{sweeps} {nproc} procs: "
+                f"{agg} crops/s aggregate (best {out[nproc]})",
+                flush=True,
+            )
     return out
 
 
@@ -210,6 +221,10 @@ def main() -> None:
             prior["effective_cores"],
             tuple(prior.get("loadavg_start", (0, 0, 0))),
             tuple(prior.get("loadavg_end", (0, 0, 0))),
+            # same stored artifact => same kernel: the re-probed
+            # ceiling may merge max-wise with the stored one (a
+            # capability supremum only ever rises as windows improve)
+            prior_ceil=prior.get("kernel_ceiling_agg_crops_per_s"),
         )
         return
 
@@ -356,7 +371,9 @@ def main() -> None:
     )
 
 
-def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
+def _finish(
+    args, results, eff_cores, loadavg_start, loadavg_end, prior_ceil=None
+) -> None:
     nl = args.n_large
     thr_n = results[f"local[{args.n_small}]"]["docs_per_sec"]
     thr_4n = results[f"local[{args.n_large}]"]["docs_per_sec"]
@@ -394,6 +411,11 @@ def _finish(args, results, eff_cores, loadavg_start, loadavg_end) -> None:
     # hardware envelope for the ACTUAL kernel (no Spark): aggregate
     # crops/s of N concurrent pure-python forward passes
     ceil = kernel_ceiling()
+    if prior_ceil:
+        ceil = {
+            k: max(v, float(prior_ceil.get(str(k), 0.0)))
+            for k, v in ceil.items()
+        }
     hw_eff_4_16 = round(ceil[16] / ceil[4] / 4, 3)
     hw_eff_8_32 = round(ceil[32] / ceil[8] / 4, 3)
     rel_4_16 = round(eff_4_16 / hw_eff_4_16, 3)
@@ -507,6 +529,11 @@ inside each session heats the python workers (imports/Arrow/JIT are a
 per-executor one-time constant, not a throughput term) and is excluded
 from the timed region; {args.timed} timed runs INTERLEAVED across all
 configs (co-tenant drift hits every config equally), median reported.
+The ceiling probe itself runs 3 interleaved sweeps over the proc
+counts and keeps each level's MAX: this guest's loadavg cannot see
+host-level co-tenancy, and interference only ever SUBTRACTS from a
+capability measurement — a single-shot probe once read a 4x-too-low
+"ceiling" that put the engine impossibly above it.
 Box loadavg (1/5/15 min): {tuple(round(x, 2) for x in loadavg_start)} at start,
 {tuple(round(x, 2) for x in loadavg_end)} at end of the timed window.
 Job = read parquet corpus -> extract(salt='auto',
