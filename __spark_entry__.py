@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_spark.functions import sparse
 from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
 from ocr_spark.operators import (
     dedup,
@@ -222,6 +223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_kmeans_assign": lambda s, d: similarity.ivf_assign(
         _t(s, d, "embeddings"),
         codebook=similarity.kmeans_codebook(_t(s, d, "embeddings")),
+    ),
+    "sparse_label_encode": lambda s, d: sparse.sparse_encode_documents(
+        _t(s, d, "documents")
     ),
 }
 
@@ -1311,6 +1315,26 @@ ORACLES: dict[str, str] = {
                             AND m.event_id = e.event_id)
         GROUP BY e.event_type
     """,
+    # F15 sparse label encoding (reference utils.py:235-258): one row
+    # per (x, y, value) nonzero; -1 = out-of-vocabulary (the Spark
+    # twin of the reference's None/unconverted-list quirk, which a
+    # typed column cannot carry)
+    "sparse_label_encode": (
+        "WITH vocab(c, id) AS (VALUES "
+        + ", ".join(
+            f"('{c}', {i})" for c, i in sparse._VOCAB.items()
+        )
+        + """),
+        t AS (SELECT doc_id, string_split(substr(text, 1, 12), '') AS cs
+              FROM documents),
+        ch AS (SELECT doc_id, unnest(cs) AS c,
+                      generate_subscripts(cs, 1) - 1 AS y FROM t)
+        SELECT ch.doc_id AS x, CAST(ch.y AS INTEGER) AS y,
+               CAST(coalesce(v.id, -1) AS INTEGER) AS value
+        FROM ch LEFT JOIN vocab v USING (c)
+        WHERE ch.c <> ''
+    """
+    ),
 }
 
 

@@ -82,6 +82,21 @@ def sparse_encode(df, label_col: str, id_col: str):
     )
 
 
+def sparse_encode_documents(docs, width: int = 12):
+    """Driver-gated form of F15 over the standard documents table:
+    label = first ``width`` chars of text, x = doc_id. Columns
+    (x, y, value) match the DuckDB oracle in __spark_entry__."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return sparse_encode(
+        docs.select(
+            F.col("doc_id"), F.substring("text", 1, width).alias("label")
+        ),
+        "label",
+        "doc_id",
+    )
+
+
 def image_size_normal(img: np.ndarray) -> tuple[np.ndarray, float, float]:
     """Reference utils.py:36-48: resize [H, W, 3] BGR to 3024x4032,
     convert to RGB, return (img, x_pro, y_pro). x_pro = 3024 / W;
