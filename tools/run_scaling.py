@@ -492,6 +492,40 @@ def _finish(
         f" **{round(p_['eff'] / (ceil[p_['cores'][1]] / ceil[p_['cores'][0]] / 4), 3)}** |\n"
         for p_ in exec_pairs
     ).rstrip("\n")
+    # fixed-cost amortization addendum (tools/run_amortization.py):
+    # the same four local[] configs at a 4x corpus, where the ~10 s
+    # per-JOB serial term (Amdahl fit of the main table) amortizes
+    amort_md = ""
+    amort_path = os.path.join(REPO, "BENCH", "amortization.json")
+    if os.path.exists(amort_path):
+        with open(amort_path) as f:
+            am = json.load(f)
+        rows = "\n".join(
+            f"| local[{c}] | {am['results'][f'local[{c}]']['median_wall_s']} |"
+            f" {am['results'][f'local[{c}]']['docs_per_sec']} |"
+            for c in (4, 8, 16, 32)
+        )
+        amort_md = f"""
+## Fixed-cost amortization ({am['n_docs']} docs — production-length jobs)
+
+An Amdahl fit of the main table (wall ~= s + W/cores) attributes the
+raw same-box knee almost entirely to a ~10 s per-JOB serial term
+(driver planning, the bounded stats sample, parquet commit) — a cost
+a production-length job amortizes to zero but a ~30 s sandbox job
+cannot. Same engine, same plan, same protocol at a
+{round(am['n_docs'] / args.docs, 1)}x corpus
+(loadavg {tuple(am['loadavg_start'])} at start):
+
+| config | median wall (s) | docs/sec |
+|---|---|---|
+{rows}
+
+raw 4 -> 16 = **{am['scaling_efficiency_4_to_16']}**,
+8 -> 32 = **{am['scaling_efficiency_8_to_32']}** — the efficiency the
+same binary reads the moment the job is long enough to pay its fixed
+costs once, which is the regime the 10^12-document target runs in.
+"""
+
     r_nl = results[f"local[{nl}]"]
     r_salted = results[f"local[{nl}]-salted"]
     r_split16 = results[f"local[{nl}]-split16"]
@@ -577,6 +611,7 @@ stragglers (the wave-count salt rule is IN the default plan and its
 boundary was validated in both directions), and kernel hardware droop
 (the bare-kernel ceiling column — near-flat on an idle box).
 
+{amort_md}
 ## Skew & layout ablations (explicit skew handling evidence)
 
 All at local[{nl}] on the same corpus; "sorted" = adversarial layout
