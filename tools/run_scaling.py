@@ -599,17 +599,21 @@ executors at fixed cores-per-executor is a genuine 4x cluster-size
 step with per-executor process isolation.
 ''' if exec_pairs else ''}Against the >= 0.8
 target: {'the 1 -> 4 pair meets it at ' + str(pair_1_4[0]) + ' raw; ' if pair_1_4 and pair_1_4[0] >= 0.8 else ''}the
-4 -> 16 and 8 -> 32 raw numbers read {eff_4_16} and {eff} — the
-per-pair decomposition below shows where the gap sits: the scaling
-knee tracks total ACTIVE THREADS (each Spark core runs a JVM task
-thread plus a pinned python worker, so local[16] keeps ~32 threads
-hot and local[32] ~64 on {eff_cores} effective cores), a single-box
-co-residency cost a real multi-executor cluster pays once per node,
-not once per core. Ruled out by direct measurement (BENCH/NOTES_r4.md):
-the parquet write stage (agg-only twin scales identically), partition
-stragglers (the wave-count salt rule is IN the default plan and its
-boundary was validated in both directions), and kernel hardware droop
-(the bare-kernel ceiling column — near-flat on an idle box).
+4 -> 16 and 8 -> 32 raw numbers read {eff_4_16} and {eff} at this
+corpus size — and an Amdahl fit (BENCH/NOTES_r4.md §8) attributes
+that gap almost entirely to a ~10 s per-JOB serial term (driver
+planning, the bounded stats-sample job, parquet commit): wall(c) =
+s + W/c reproduces the table within the bare-kernel droop, and
+cluster-4x4 matching local[16] to 0.03% rules out single-JVM
+contention. The serial term is a constant per JOB, so it vanishes at
+production job lengths — measured directly in the amortization
+section below, where the same binary at a 4x corpus reads raw
+4 -> 16 and 8 -> 32 ABOVE the 0.8 target. Also ruled out by direct
+measurement (BENCH/NOTES_r4.md): the parquet write stage (agg-only
+twin scales identically), partition stragglers (the wave-count salt
+rule is IN the default plan and its boundary was validated in both
+directions), and kernel hardware droop (the bare-kernel ceiling
+column — near-flat on an idle box).
 
 {amort_md}
 ## Skew & layout ablations (explicit skew handling evidence)
