@@ -69,6 +69,37 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # it), so the contract is broadcast nested-loop against the KB-sized
     # checkpointed codebook — never a shuffled cartesian of the corpus
     ("ivf_kmeans_assign", ["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # F15 Spark twin: a pure posexplode (Generate) shell, all codegen
+    ("sparse_label_encode", ["Generate", "codegen id :"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
+    # the full dedup funnel's final materialization: corpus minus drop
+    # list must stay an equi anti-join; none of the LSH/CC machinery
+    # upstream may go nested-loop or drop to Python
+    ("dedup_corpus", ["LeftAnti"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
+    # lag + cumulative flag: one hash-partitioned window, map-side
+    # partial agg on the session counts
+    ("sessionize", ["Window", "partial_sum"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
+    # the per-type bands dim is 5 rows — must broadcast, never shuffle
+    # the fact side into a sort-merge join
+    ("value_band_join", ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # U1 residue at table level: anti-join on the pair keys
+    ("unmatched_events", ["LeftAnti"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # exact percentile is an ObjectHashAggregate (sort-based typed agg
+    # buffers); one shuffle on the 5-value type key
+    ("value_percentiles", ["ObjectHashAggregate"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
+    # IVF-cell-blocked self-join: equi on cell_id with the cosine
+    # threshold as a residual predicate. The upstream centroid
+    # assignment legitimately broadcasts the KB-sized codebook as a
+    # nested-loop (see ivf_kmeans_assign), so the only hard contracts
+    # are no cartesian corpus^2 and no Python fallback.
+    ("embedding_near_dup", [],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 ]
 
 
