@@ -56,7 +56,7 @@ if {assert_mega_heavy!r}:
     thr = max(HEAVY_MEDIA_SPANS, int(HEAVY_SKEW_RATIO * stats['mean']))
     assert stats['mx'] > thr, (stats, thr)
 t0 = time.time()
-extract(docs, heavy_threshold={heavy!r}, salt={salt!r}, media_stats={media_stats!r}).write.mode('overwrite').parquet({out!r})
+extract(docs, heavy_threshold={heavy!r}, salt={salt!r}, media_stats={media_stats!r}, buckets={buckets!r}).write.mode('overwrite').parquet({out!r})
 
 wall = time.time() - t0
 n = spark.read.parquet({out!r}).select('doc_id').distinct().count()
@@ -74,6 +74,7 @@ def run_once(
     media_stats="sample",
     assert_mega_heavy=False,
     master: str | None = None,
+    buckets: int | None = None,
 ) -> dict:
     code = CHILD.format(
         repo=REPO,
@@ -85,6 +86,7 @@ def run_once(
         salt=salt,
         media_stats=media_stats,
         assert_mega_heavy=assert_mega_heavy,
+        buckets=buckets,
     )
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
