@@ -166,7 +166,15 @@ def extract(
     range) are uniformly distributed by construction and never salt."""
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    buckets = buckets or parallelism * 2
+    # Salted-repartition width follows the same wave doctrine the salt
+    # trigger uses: 8 task waves per core. 2 waves (the old 2x default)
+    # leaves the straggler tail the salt exists to remove — measured at
+    # local[32] on the 64-partition protocol corpus: 2 waves 20.9 s,
+    # 4 waves 17.9 s, 8 waves 16.2 s (tools/ab_waves.py, 3 interleaved
+    # cold-JVM reps, BENCH/NOTES_r4.md §11). The same width serves the
+    # heavy span-exploded path, whose per-span rows are finer-grained
+    # still.
+    buckets = buckets or parallelism * 8
 
     # model weights: broadcast ONCE per job; each python worker fetches
     # bc.value once and reuses it across Arrow batches (the reference's
