@@ -311,7 +311,11 @@ def main() -> None:
          "local-cluster[2,2,4096]"),
         ("cluster-8x2", 16, "auto", "auto", corpus, "sample",
          "local-cluster[8,2,4096]"),
-        (f"local[{nl}]-salted", nl, "auto", True, corpus, "sample", None),
+        # at nl=32 the 64-partition corpus is 2 scan waves/core, so the
+        # auto rule already salts the default row; the ablation arm is
+        # therefore salt=OFF (the old forced-salt arm became a duplicate
+        # of the default when the trigger started firing at this width)
+        (f"local[{nl}]-nosalt", nl, "auto", False, corpus, "sample", None),
         (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample", None),
         (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample", None),
         (f"local[{nl}]-sorted-salted", nl, "auto", True, corpus_sorted, "sample", None),
@@ -529,7 +533,7 @@ costs once, which is the regime the 10^12-document target runs in.
 """
 
     r_nl = results[f"local[{nl}]"]
-    r_salted = results[f"local[{nl}]-salted"]
+    r_nosalt = results[f"local[{nl}]-nosalt"]
     r_split16 = results[f"local[{nl}]-split16"]
     r_srt_no = results[f"local[{nl}]-sorted-nosalt"]
     r_srt_sa = results[f"local[{nl}]-sorted-salted"]
@@ -626,23 +630,35 @@ first partitions — an ingest order correlated with media density).
 
 | variant | layout | salt shuffle | heavy split | median wall (s) |
 |---|---|---|---|---|
-| default | random | auto(off) | auto(none qualify) | {r_nl['median_wall_s']} |
-| forced salt | random | on | auto | {r_salted['median_wall_s']} |
-| forced split@16 | random | auto(off) | fixed 16 | {r_split16['median_wall_s']} |
+| default | random | auto(ON: 2 scan waves/core) | auto(none qualify) | {r_nl['median_wall_s']} |
+| forced no-salt | random | off | auto | {r_nosalt['median_wall_s']} |
+| forced split@16 | random | auto(ON) | fixed 16 | {r_split16['median_wall_s']} |
 | adversarial, no salt | sorted | off | auto | {r_srt_no['median_wall_s']} |
 | adversarial, salted | sorted | on | auto | {r_srt_sa['median_wall_s']} |
 | +4k-span mega-doc, no split | mega | off | off | {r_meg_no['median_wall_s']} |
 | +4k-span mega-doc, auto | mega | off | auto(splits mega only) | {r_meg_au['median_wall_s']} |
 
 Reading:
-- **Salting policy** (extract(salt='auto')): on an already
-  hash-random layout the salting shuffle is pure cost (forced-salt vs
-  default row); on the adversarial sorted layout, salting recovers
+- **Salting policy** (extract(salt='auto')): the trigger is
+  wave-count based — salt only when the scan yields < 4 task waves
+  per core. Here (64 scan partitions at {nl} cores = 2 waves) it
+  fires, repartitioning
+  to 8 waves/core, and beats the unsalted plan
+  {round(r_nosalt['median_wall_s'] / r_nl['median_wall_s'], 2)}x
+  (forced no-salt vs default) EVEN on a hash-random layout: with 1-2
+  waves, per-partition work variance (media-heavy docs) turns into a
+  straggler tail that narrower waves cannot absorb. At local[16] the
+  same corpus is exactly 4 waves, the trigger stays off, and forcing
+  the salt on costs ~9% (interleaved cold-JVM A/B, medians 25.1 s
+  unsalted vs 27.2 s salted — BENCH/NOTES_r4.md §12), validating the
+  boundary in both directions at the 8-wave width. On the adversarial
+  sorted layout, salting recovers
   {round(r_srt_no['median_wall_s'] / r_srt_sa['median_wall_s'], 2)}x
   (sorted-salted vs sorted-nosalt) because without it the clustered
-  heavy partitions become stragglers. This is the production rule:
-  bucket the Iceberg table by doc_id (random layout for free) and
-  keep salting as the guard for un-bucketed/append-ordered inputs.
+  heavy partitions become stragglers. The production rule: bucket the
+  Iceberg table by doc_id (random layout AND enough input splits for
+  free) and keep the wave-count salt as the guard for un-bucketed,
+  append-ordered, or coarsely-partitioned inputs.
 - **Cost-based splitting** (extract(heavy_threshold='auto')): a
   document splits into per-span work units when its media count
   exceeds HEAVY_SKEW_RATIO (8x) times the corpus mean (stats from
