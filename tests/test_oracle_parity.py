@@ -87,8 +87,7 @@ GATED_REQUIRED = {
     # dedup (production-shaped)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dup_clusters_banded", "dedup_corpus",
-    "banded_pairs_bucket_cap", "ngram_jaccard_pairs",
-    "jaccard_banded_pairs",
+    "banded_pairs_bucket_cap", "jaccard_banded_pairs",
     # similarity / ANN
     "knn_cosine_topk", "knn_cosine_ivf", "embedding_near_dup",
     "ivf_recall", "ivf_kmeans_recall",
@@ -103,6 +102,8 @@ GATED_REQUIRED = {
     # TPC-H family
     "pricing_summary", "top_revenue_orders", "event_rollup",
     "local_supplier_volume", "order_priority_counts",
+    # bucketed layout (zero-exchange co-located join)
+    "bucketed_order_revenue",
 }
 
 

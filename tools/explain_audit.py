@@ -100,6 +100,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # are no cartesian corpus^2 and no Python fallback.
     ("embedding_near_dup", [],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # bucketed layout (plans/bucketed.py): both scans carry the bucket
+    # partitioning, so the orderkey join AND the key-grouped aggregate
+    # run with ZERO exchanges — the write paid the shuffle once. The
+    # merge hint pins the join form at gate SF (the optimizer would
+    # otherwise broadcast the small side and leave the zero-exchange
+    # property unexercised).
+    ("bucketed_order_revenue", ["SortMergeJoin"], ["Exchange"]),
 ]
 
 
