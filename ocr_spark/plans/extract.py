@@ -28,11 +28,14 @@ de-correlate per-row COST from the physical layout — vital when the
 input is clustered by cost (e.g. ingest order correlates with media
 density), pure overhead when the input is already hash-bucketed by
 doc_id (the production Iceberg spec) with enough partitions: dropping
-it removes a full shuffle of the corpus and measures 1.6x end-to-end
-(BENCH/scaling.json plan ablation). ``salt='auto'`` (default)
-repartitions only when the scan has fewer partitions than the
-cluster's parallelism; ``True``/``False`` force either behavior
-(bench uses both to evidence the trade).
+it removes a full shuffle of the corpus (measured both ways in
+BENCH/scaling.json: 11x WIN on the cost-sorted adversarial layout,
+~20% pure cost on the hash-uniform one). ``salt='auto'`` (default)
+repartitions unconditionally when the scan has fewer partitions than
+the cluster's cores, consults the bounded ``layout_skew_probe`` in
+the 1-to-4-waves band, and never fires beyond 4 waves per core;
+``True``/``False`` force either behavior (bench uses both to
+evidence the trade).
 
 Both paths produce identical rows (tested), so threshold and salting
 are pure performance knobs.
@@ -115,6 +118,77 @@ def media_span_count(col="spans"):
     return F.size(F.filter(col, lambda s: s["kind"] == F.lit("media")))
 
 
+_PROBE_ROWS = 128  # per-FILE prefix rows the layout probe reads
+_PROBE_CLUSTER_RATIO = 6.0  # max/median file prefix mean => clustered
+
+
+def layout_skew_probe(docs: DataFrame, k: int = _PROBE_ROWS) -> float:
+    """Bounded layout-clustering probe: max over the scan's FILES of
+    the prefix-mean media density, divided by the median file's.
+
+    ~1 on hash-uniform layouts, >> 1 when ingest order correlates
+    with media density so heavy documents cluster into few files
+    (measured: random layout ~2.4, globally-sorted layout ~20+; the
+    6.0 threshold sits between with margin on both sides). This is
+    the sandbox stand-in for the Iceberg manifests' per-FILE
+    aggregates of an ingest-computed media-count column — which at
+    production scale make this a metadata-only read with no blind
+    spot. Here each file's head is read in parallel (one file-path
+    row per task batch, ``mapInPandas`` over the file list; at most
+    ``k`` rows per file via one bounded ``iter_batches`` pull), NOT
+    via scan partitions: the file scan packs small files by
+    ``openCostInBytes``, so partition prefixes can bury a clustered
+    file mid-partition and miss it.
+
+    A file whose footer/head cannot be read contributes nothing; if
+    NO file is readable the probe returns +inf — unobservable layout
+    means buy the insurance."""
+    spark = docs.sparkSession
+    files = docs.inputFiles()
+    if not files:
+        return 1.0  # non-file source: uniform by construction
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(min(len(files), 256))
+
+    def heads(pdfs):
+        import pandas as pd  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+        from urllib.parse import urlparse  # noqa: PLC0415
+
+        for pdf in pdfs:
+            s_out, n_out = [], []
+            for uri in pdf["path"]:
+                try:
+                    local = urlparse(uri).path or uri
+                    pf = pq.ParquetFile(local)
+                    batch = next(
+                        pf.iter_batches(batch_size=k, columns=["spans"]),
+                        None,
+                    )
+                except Exception:  # noqa: BLE001 — unreadable file: skip
+                    continue
+                if batch is None:
+                    continue
+                s = n = 0
+                for row in batch.column("spans").to_pylist():
+                    s += sum(1 for sp in (row or []) if sp["kind"] == "media")
+                    n += 1
+                if n:
+                    s_out.append(float(s))
+                    n_out.append(float(n))
+            yield pd.DataFrame({"s": s_out, "n": n_out})
+
+    stats = fdf.mapInPandas(heads, schema="s double, n double").collect()
+    means = sorted(r["s"] / r["n"] for r in stats)
+    if not means:
+        return float("inf")
+    med = means[len(means) // 2]
+    if med <= 0:
+        return float("inf") if means[-1] > 0 else 1.0
+    return means[-1] / med
+
+
 def extract(
     docs: DataFrame,
     heavy_threshold: int | str = "auto",
@@ -156,10 +230,13 @@ def extract(
       fallback for corpora with neither metadata nor a trustworthy
       prefix sample.
 
-    ``salt``/``scan_partitions``: the light-path repartition runs only
-    when the scan yields fewer than ~4 task waves per core (below
-    that, per-partition work variance leaves an unsmoothable straggler
-    tail — see the inline rule note); ``scan_partitions`` supplies the
+    ``salt``/``scan_partitions``: the light-path repartition runs
+    unconditionally when the scan has fewer partitions than cores
+    (idle cores otherwise), and in the 1-to-4-waves-per-core band only
+    when the bounded ``layout_skew_probe`` says per-row cost is
+    actually clustered in the layout (see the inline rule note — on a
+    hash-uniform layout the shuffle is pure cost, on a cost-sorted
+    layout it is an 11x win); ``scan_partitions`` supplies the
     partition count from the caller (who knows the layout), else it is
     derived from ``inputFiles()`` — a metadata-only lookup — for
     file-backed sources; sources that are neither (e.g. a generated
@@ -229,15 +306,30 @@ def extract(
             # non-file sources (a generated range) are uniformly
             # distributed by construction: no salt
             scan_partitions = len(files) if files else 4 * parallelism
-        # salt when the scan yields fewer than ~4 task WAVES per core:
-        # with 1-2 waves, per-partition work variance (media-heavy docs
-        # landing unevenly) leaves a straggler tail that scheduling
-        # cannot smooth — measured 1.32x at local[32] on a 64-partition
-        # random-layout corpus (BENCH/NOTES_r4.md §4); with >=4 waves
-        # the scheduler absorbs the variance and the shuffle is pure
-        # cost. At production scale (scan partitions >> 4x total cores)
-        # the rule never fires — bucketing the table stays the plan.
-        salt = scan_partitions < 4 * parallelism
+        # Three regimes (BENCH/NOTES_r4.md §4, §11-13):
+        # - scan partitions < cores: cores sit idle regardless of
+        #   layout — repartition unconditionally;
+        # - 1 to <4 task waves per core: a repartition helps ONLY if
+        #   per-row cost is clustered in the layout (sorted adversarial
+        #   layout: salted 15.3 s vs unsalted 173 s at local[32] — 11x;
+        #   hash-uniform layout in an idle window: salted 15.5 s vs
+        #   unsalted 12.9 s — the shuffle is pure cost). So probe the
+        #   layout with a bounded per-partition prefix read before
+        #   paying for the insurance. (Host contention can also stretch
+        #   a coarse unsalted scan — §4 measured salt winning 1.32x on
+        #   the uniform corpus in a slower window — but the probe can't
+        #   observe host noise, and the idle-window protocol is the
+        #   regime of record.)
+        # - >=4 waves: the scheduler absorbs per-partition variance and
+        #   forced salt measures ~9% WORSE (§12). At production scale
+        #   (scan partitions >> 4x total cores) auto-salt never fires;
+        #   bucketing the table stays the plan.
+        if scan_partitions < parallelism:
+            salt = True
+        elif scan_partitions < 4 * parallelism:
+            salt = layout_skew_probe(docs) >= _PROBE_CLUSTER_RATIO
+        else:
+            salt = False
 
     if heavy_threshold is None:
         light = docs.drop("_n_media")
