@@ -121,6 +121,16 @@ def effective_cores(seconds: float = 5.0) -> float:
 
 
 def _ceiling_worker(q, seconds: float) -> None:
+    # MUST run before numpy's first import in THIS process: OpenBLAS
+    # reads the env once at init and ignores later changes. The probe
+    # therefore launches workers with the SPAWN start method — a fork
+    # child inherits the parent's already-initialized (possibly
+    # unpinned) BLAS pool, and 32 workers x 32 inherited BLAS threads
+    # measure their own thrash, not the hardware: a fork-started probe
+    # read 4.6k aggregate crops/s at 32 procs (guest loadavg 455, 1.4k
+    # threads) in the same idle window whose Spark arms were the
+    # fastest ever recorded. Spawn makes the instrument independent of
+    # the launching shell's env.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ[var] = "1"
     from ocr_spark.functions import crnn  # noqa: PLC0415
@@ -168,12 +178,14 @@ def kernel_ceiling(seconds: float = 8.0, sweeps: int = 3) -> dict[int, float]:
     ever subtracts from a capability measurement, never adds."""
     import multiprocessing as mp
 
+    ctx = mp.get_context("spawn")  # see _ceiling_worker: fork inherits
+    # the parent's initialized BLAS pool and invalidates the probe
     out: dict[int, float] = {}
     for sweep in range(sweeps):
         for nproc in (1, 4, 8, 16, 32):
-            q = mp.Queue()
+            q = ctx.Queue()
             ps = [
-                mp.Process(target=_ceiling_worker, args=(q, seconds))
+                ctx.Process(target=_ceiling_worker, args=(q, seconds))
                 for _ in range(nproc)
             ]
             for p in ps:
