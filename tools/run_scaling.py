@@ -323,10 +323,10 @@ def main() -> None:
          "local-cluster[2,2,4096]"),
         ("cluster-8x2", 16, "auto", "auto", corpus, "sample",
          "local-cluster[8,2,4096]"),
-        # at nl=32 the 64-partition corpus is 2 scan waves/core, so the
-        # auto rule already salts the default row; the ablation arm is
-        # therefore salt=OFF (the old forced-salt arm became a duplicate
-        # of the default when the trigger started firing at this width)
+        # at nl=32 the 64-partition corpus is 2 scan waves/core — inside
+        # the probe band. On this hash-random layout the probe DECLINES,
+        # so default == unsalted plan + probe/stats overhead; the
+        # salt=False arm (probe skipped entirely) isolates that overhead
         (f"local[{nl}]-nosalt", nl, "auto", False, corpus, "sample", None),
         (f"local[{nl}]-split16", nl, 16, "auto", corpus, "sample", None),
         (f"local[{nl}]-sorted-nosalt", nl, "auto", False, corpus_sorted, "sample", None),
@@ -628,10 +628,11 @@ production job lengths — measured directly in the amortization
 section below, where the same binary at a 4x corpus reads raw
 4 -> 16 and 8 -> 32 ABOVE the 0.8 target. Also ruled out by direct
 measurement (BENCH/NOTES_r4.md): the parquet write stage (agg-only
-twin scales identically), partition stragglers (the wave-count salt
-rule is IN the default plan and its boundary was validated in both
-directions), and kernel hardware droop (the bare-kernel ceiling
-column — near-flat on an idle box).
+twin scales identically), partition stragglers (the probe-gated
+salt rule is IN the default plan, its wave-band boundary validated
+in both directions and its layout decision in both directions), and
+kernel hardware droop (the bare-kernel ceiling column — near-flat
+on an idle box).
 
 {amort_md}
 ## Skew & layout ablations (explicit skew handling evidence)
@@ -642,35 +643,42 @@ first partitions — an ingest order correlated with media density).
 
 | variant | layout | salt shuffle | heavy split | median wall (s) |
 |---|---|---|---|---|
-| default | random | auto(ON: 2 scan waves/core) | auto(none qualify) | {r_nl['median_wall_s']} |
-| forced no-salt | random | off | auto | {r_nosalt['median_wall_s']} |
-| forced split@16 | random | auto(ON) | fixed 16 | {r_split16['median_wall_s']} |
+| default | random | auto(2 waves; probe declines) | auto(none qualify) | {r_nl['median_wall_s']} |
+| forced no-salt | random | off (no probe) | auto | {r_nosalt['median_wall_s']} |
+| forced split@16 | random | auto(declines) | fixed 16 | {r_split16['median_wall_s']} |
 | adversarial, no salt | sorted | off | auto | {r_srt_no['median_wall_s']} |
 | adversarial, salted | sorted | on | auto | {r_srt_sa['median_wall_s']} |
 | +4k-span mega-doc, no split | mega | off | off | {r_meg_no['median_wall_s']} |
 | +4k-span mega-doc, auto | mega | off | auto(splits mega only) | {r_meg_au['median_wall_s']} |
 
 Reading:
-- **Salting policy** (extract(salt='auto')): the trigger is
-  wave-count based — salt only when the scan yields < 4 task waves
-  per core. Here (64 scan partitions at {nl} cores = 2 waves) it
-  fires, repartitioning
-  to 8 waves/core, and beats the unsalted plan
-  {round(r_nosalt['median_wall_s'] / r_nl['median_wall_s'], 2)}x
-  (forced no-salt vs default) EVEN on a hash-random layout: with 1-2
-  waves, per-partition work variance (media-heavy docs) turns into a
-  straggler tail that narrower waves cannot absorb. At local[16] the
-  same corpus is exactly 4 waves, the trigger stays off, and forcing
-  the salt on costs ~9% (interleaved cold-JVM A/B, medians 25.1 s
-  unsalted vs 27.2 s salted — BENCH/NOTES_r4.md §12), validating the
-  boundary in both directions at the 8-wave width. On the adversarial
-  sorted layout, salting recovers
+- **Salting policy** (extract(salt='auto')): three regimes
+  (plans/extract.py; probe decisions are plan-asserted in
+  tests/test_salt_probe.py). (1) scan partitions < cores: salt
+  unconditionally — cores would idle regardless of layout.
+  (2) 1 to <4 task waves per core — THIS corpus at local[{nl}]
+  (64 scan partitions = 2 waves) — salt only when the bounded
+  per-file `layout_skew_probe` (max/median prefix media density,
+  threshold 6; the sandbox stand-in for Iceberg manifests'
+  per-file aggregates) reports clustered cost. On this
+  hash-random layout it reads ~2.4 and DECLINES: the default row
+  runs unsalted straight off the scan partitions, and its gap to
+  the probe-free forced-no-salt arm
+  ({r_nl['median_wall_s']} vs {r_nosalt['median_wall_s']} s)
+  is the probe + stats-sample cost, not a shuffle. On the
+  adversarial sorted layout the probe reads 20+ and fires; the
+  ablation forces both positions to measure what that decision is
+  worth — salting (to 8 task waves/core) recovers
   {round(r_srt_no['median_wall_s'] / r_srt_sa['median_wall_s'], 2)}x
-  (sorted-salted vs sorted-nosalt) because without it the clustered
-  heavy partitions become stragglers. The production rule: bucket the
-  Iceberg table by doc_id (random layout AND enough input splits for
-  free) and keep the wave-count salt as the guard for un-bucketed,
-  append-ordered, or coarsely-partitioned inputs.
+  (sorted-salted vs sorted-nosalt) because without it the
+  clustered heavy partitions become stragglers.
+  (3) >=4 waves: never salt — the scheduler absorbs per-partition
+  variance and forcing the salt on measures ~9% worse (local[16]
+  interleaved cold-JVM A/B, 25.1 s unsalted vs 27.2 s forced —
+  BENCH/NOTES_r4.md §12). The production rule: bucket the Iceberg
+  table by doc_id (random layout AND enough input splits for
+  free); the probe-gated salt guards un-bucketed, append-ordered,
+  or coarsely-partitioned inputs.
 - **Cost-based splitting** (extract(heavy_threshold='auto')): a
   document splits into per-span work units when its media count
   exceeds HEAVY_SKEW_RATIO (8x) times the corpus mean (stats from
