@@ -14,6 +14,14 @@ INTERLEAVED across configs, medians); run_scaling's --regen folds the
 result into BENCH/BASELINE.md as its own section.
 
 Usage: python tools/run_amortization.py [--docs 24000] [--timed 3]
+
+``--exec-pairs`` measures the north rule's LITERAL form in the
+amortized regime instead: N vs 4N EXECUTORS (local-cluster masters,
+real separate executor JVMs at 4 cores each — 1x4 -> 4x4 and
+2x4 -> 8x4) on the same 4x corpus, and MERGES the results into the
+existing BENCH/amortization.json (the local[] block keeps its own
+measurement window; each efficiency ratio is computed strictly within
+one window, which is the portable quantity on this co-tenant box).
 """
 
 from __future__ import annotations
@@ -31,12 +39,7 @@ sys.path.insert(0, REPO)
 from run_scaling import run_once  # noqa: E402  (sibling tool module)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=24000)
-    ap.add_argument("--timed", type=int, default=3)
-    args = ap.parse_args()
-
+def _stage_corpus(docs: int) -> tuple[str, str]:
     from ocr_spark.plans.extract import corpus_df
     from ocr_spark.plans.session import build_session
 
@@ -47,18 +50,96 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # partitions scale with the corpus so per-task row counts match
     # the main protocol's (6000 docs / 64 partitions)
-    corpus_df(spark, args.docs, partitions=max(64, args.docs // 94)).write.parquet(
-        corpus
-    )
+    corpus_df(spark, docs, partitions=max(64, docs // 94)).write.parquet(corpus)
     spark.stop()
+    return corpus, out
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=24000)
+    ap.add_argument("--timed", type=int, default=3)
+    ap.add_argument(
+        "--exec-pairs",
+        action="store_true",
+        help="measure N -> 4N EXECUTOR pairs (local-cluster, separate "
+        "executor JVMs, 4 cores each) and merge into the existing "
+        "BENCH/amortization.json instead of re-measuring the local[] block",
+    )
+    args = ap.parse_args()
+
+    amort_path = os.path.join(REPO, "BENCH", "amortization.json")
+
+    if args.exec_pairs:
+        # the north rule's literal form (N vs 4N executors) in the
+        # amortized regime; the cluster configs spawn real separate
+        # executor JVMs with their own python workers
+        configs = [
+            ("cluster-1x4", 4, "local-cluster[1,4,4096]"),
+            ("cluster-4x4", 16, "local-cluster[4,4,4096]"),
+            ("cluster-2x4", 8, "local-cluster[2,4,4096]"),
+            ("cluster-8x4", 32, "local-cluster[8,4,4096]"),
+        ]
+        with open(amort_path) as f:
+            payload = json.load(f)
+        assert payload["n_docs"] == args.docs, (payload["n_docs"], args.docs)
+        corpus, out = _stage_corpus(args.docs)
+        loadavg_start = os.getloadavg()
+        walls: dict[str, list[float]] = {lbl: [] for lbl, _, _ in configs}
+        for rep in range(args.timed):
+            for lbl, cpus, master in configs:
+                r = run_once(corpus, out, cpus, master=master)
+                walls[lbl].append(r["wall_s"])
+                print(
+                    f"rep {rep + 1}/{args.timed} {lbl}: {r['wall_s']:.1f}s "
+                    f"loadavg={tuple(round(x, 1) for x in os.getloadavg())}",
+                    flush=True,
+                )
+        loadavg_end = os.getloadavg()
+        payload["exec_results"] = {
+            lbl: {
+                "cpus": cpus,
+                "master": master,
+                "walls_s": [round(w, 2) for w in walls[lbl]],
+                "median_wall_s": round(statistics.median(walls[lbl]), 2),
+                "docs_per_sec": round(
+                    args.docs / statistics.median(walls[lbl]), 2
+                ),
+            }
+            for lbl, cpus, master in configs
+        }
+        med = {lbl: statistics.median(walls[lbl]) for lbl, _, _ in configs}
+        payload["exec_scaling_efficiency_1x4_to_4x4"] = round(
+            med["cluster-1x4"] / med["cluster-4x4"] / 4, 3
+        )
+        payload["exec_scaling_efficiency_2x4_to_8x4"] = round(
+            med["cluster-2x4"] / med["cluster-8x4"] / 4, 3
+        )
+        payload["exec_protocol"] = (
+            "N -> 4N EXECUTORS (local-cluster, separate executor JVMs, "
+            f"4 cores each), {args.timed} interleaved timed reps, medians, "
+            "same 4x corpus; measured in its OWN window (ratios are "
+            "within-window)"
+        )
+        payload["exec_loadavg_start"] = [round(x, 2) for x in loadavg_start]
+        payload["exec_loadavg_end"] = [round(x, 2) for x in loadavg_end]
+        with open(amort_path, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(
+            json.dumps(
+                {k: v for k, v in payload.items() if "results" not in k}
+            )
+        )
+        return
+
+    corpus, out = _stage_corpus(args.docs)
     cpus_list = [4, 8, 16, 32]
     loadavg_start = os.getloadavg()
-    walls: dict[int, list[float]] = {c: [] for c in cpus_list}
+    walls_c: dict[int, list[float]] = {c: [] for c in cpus_list}
     for rep in range(args.timed):
         for c in cpus_list:
             r = run_once(corpus, out, c)
-            walls[c].append(r["wall_s"])
+            walls_c[c].append(r["wall_s"])
             print(
                 f"rep {rep + 1}/{args.timed} local[{c}]: {r['wall_s']:.1f}s "
                 f"loadavg={tuple(round(x, 1) for x in os.getloadavg())}",
@@ -69,13 +150,13 @@ def main() -> None:
     results = {
         f"local[{c}]": {
             "cpus": c,
-            "walls_s": [round(w, 2) for w in walls[c]],
-            "median_wall_s": round(statistics.median(walls[c]), 2),
-            "docs_per_sec": round(args.docs / statistics.median(walls[c]), 2),
+            "walls_s": [round(w, 2) for w in walls_c[c]],
+            "median_wall_s": round(statistics.median(walls_c[c]), 2),
+            "docs_per_sec": round(args.docs / statistics.median(walls_c[c]), 2),
         }
         for c in cpus_list
     }
-    med = {c: statistics.median(walls[c]) for c in cpus_list}
+    med = {c: statistics.median(walls_c[c]) for c in cpus_list}
     payload = {
         "n_docs": args.docs,
         "results": results,
@@ -87,7 +168,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in loadavg_end],
     }
-    with open(os.path.join(REPO, "BENCH", "amortization.json"), "w") as f:
+    with open(amort_path, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps({k: v for k, v in payload.items() if k != "results"}))
 

@@ -523,6 +523,30 @@ def _finish(
             f" {am['results'][f'local[{c}]']['docs_per_sec']} |"
             for c in (4, 8, 16, 32)
         )
+        exec_md = ""
+        if "exec_results" in am:
+            erows = "\n".join(
+                f"| local-cluster {lbl.split('-')[1].replace('x', ' executors x ')} cores |"
+                f" {am['exec_results'][lbl]['median_wall_s']} |"
+                f" {am['exec_results'][lbl]['docs_per_sec']} |"
+                for lbl in (
+                    "cluster-1x4", "cluster-4x4", "cluster-2x4", "cluster-8x4"
+                )
+            )
+            exec_md = f"""
+The north rule's LITERAL form — N -> 4N EXECUTORS (local-cluster,
+real separate executor JVMs at 4 cores each) — in the same amortized
+regime (measured in its own window, ratios within-window; loadavg
+{tuple(am['exec_loadavg_start'])} at start):
+
+| config | median wall (s) | docs/sec |
+|---|---|---|
+{erows}
+
+executor-pair raw: 1x4 -> 4x4 executors =
+**{am['exec_scaling_efficiency_1x4_to_4x4']}**, 2x4 -> 8x4 executors =
+**{am['exec_scaling_efficiency_2x4_to_8x4']}**.
+"""
         amort_md = f"""
 ## Fixed-cost amortization ({am['n_docs']} docs — production-length jobs)
 
@@ -542,7 +566,7 @@ raw 4 -> 16 = **{am['scaling_efficiency_4_to_16']}**,
 8 -> 32 = **{am['scaling_efficiency_8_to_32']}** — the efficiency the
 same binary reads the moment the job is long enough to pay its fixed
 costs once, which is the regime the 10^12-document target runs in.
-"""
+{exec_md}"""
 
     r_nl = results[f"local[{nl}]"]
     r_nosalt = results[f"local[{nl}]-nosalt"]
