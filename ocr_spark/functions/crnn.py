@@ -251,14 +251,21 @@ def recurrent_mix(feats: np.ndarray, wh: np.ndarray, alpha: float = 0.25) -> np.
     the dominant (and representative) compute."""
     t, d = feats.shape
     out = np.empty((2, t, d))
+    # allocation-free steps: same ops in the same order (bit-identical
+    # to the naive h = tanh(x + wh*h) form), but tanh lands directly in
+    # the out row instead of a fresh array that is then copied there —
+    # one fewer array write per step and zero per-step allocations
+    buf = np.empty(d)
     h = np.zeros(d)
     for i in range(t):
-        h = np.tanh(feats[i] + wh * h)
-        out[0, i] = h
+        np.multiply(wh, h, out=buf)
+        buf += feats[i]
+        h = np.tanh(buf, out=out[0, i])
     h = np.zeros(d)
     for i in range(t - 1, -1, -1):
-        h = np.tanh(feats[i] + wh * h)
-        out[1, i] = h
+        np.multiply(wh, h, out=buf)
+        buf += feats[i]
+        h = np.tanh(buf, out=out[1, i])
     return feats + alpha * (out[0] + out[1])
 
 
@@ -476,14 +483,18 @@ def recurrent_mix_batch(
     Elementwise tanh/mul/add — bit-identical to the per-sequence path."""
     n, t, d = feats.shape
     out = np.empty((2, n, t, d))
+    # same allocation-free step shape as recurrent_mix (bit-identical)
+    buf = np.empty((n, d))
     h = np.zeros((n, d))
     for i in range(t):
-        h = np.tanh(feats[:, i] + wh * h)
-        out[0, :, i] = h
+        np.multiply(wh, h, out=buf)
+        buf += feats[:, i]
+        h = np.tanh(buf, out=out[0, :, i])
     h = np.zeros((n, d))
     for i in range(t - 1, -1, -1):
-        h = np.tanh(feats[:, i] + wh * h)
-        out[1, :, i] = h
+        np.multiply(wh, h, out=buf)
+        buf += feats[:, i]
+        h = np.tanh(buf, out=out[1, :, i])
     return feats + alpha * (out[0] + out[1])
 
 
