@@ -58,7 +58,18 @@ def build_session(
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    b = _tuned_conf(b, shuffle_partitions)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _tuned_conf(b, shuffle_partitions: int):
+    """The engine's workload conf, shared by both launch forms."""
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -66,13 +77,35 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # cluster deployments: pin worker-side BLAS the same way (local
         # mode inherits the driver env set above)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+
+
+def build_submit_session(
+    app_name: str = "ocr_spark",
+    shuffle_partitions: int = 64,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Session for jobs launched via ``spark-submit``: master, deploy
+    mode, ``--py-files`` and driver memory come from the spark-submit
+    command line and MUST NOT be set here (a builder ``.master()``
+    would silently override the launcher's), while the workload conf
+    (AQE, Arrow batching, shuffle width, executor BLAS pinning) is the
+    same tuned set as :func:`build_session`. Driver-side BLAS pinning
+    still happens here — spark-submit does not export it."""
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    b = _tuned_conf(SparkSession.builder.appName(app_name), shuffle_partitions)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -568,6 +568,43 @@ same binary reads the moment the job is long enough to pay its fixed
 costs once, which is the regime the 10^12-document target runs in.
 {exec_md}"""
 
+    # literal-launch addendum (tools/run_submit_scaling.py): the same
+    # executor pairs, but each run is a real `spark-submit --py-files
+    # dist/ocr_spark.zip` process launched from a scratch directory
+    submit_md = ""
+    submit_path = os.path.join(REPO, "BENCH", "submit_scaling.json")
+    if os.path.exists(submit_path):
+        with open(submit_path) as f:
+            sm = json.load(f)
+        srows = "\n".join(
+            f"| {lbl.replace('x', ' executors x ')} cores"
+            f" ({r_['master']}) | {r_['median_wall_s']} |"
+            f" {r_['docs_per_sec']} |"
+            for lbl, r_ in sm["results"].items()
+        )
+        submit_md = f"""
+## Literal launch form: `spark-submit --py-files` (tools/run_submit_scaling.py)
+
+The rows above boot local-cluster masters through the pyspark launcher
+inside a python child. This section is the north rule's sentence run
+verbatim: `python tools/make_pyfiles.py` builds dist/ocr_spark.zip,
+then each timed run is one cold `spark-submit --master
+local-cluster[n,4,4096] --driver-memory 8g --py-files ocr_spark.zip
+jobs/bench_extract.py` process, launched from a SCRATCH directory
+with an empty PYTHONPATH — driver and executors can import ocr_spark
+only from the shipped zip. Same {sm['n_docs']}-doc amortized corpus,
+{sm['protocol']}; loadavg {tuple(sm['loadavg_start'])} at start,
+{tuple(sm['loadavg_end'])} at end.
+
+| config | median wall (s) | docs/sec |
+|---|---|---|
+{srows}
+
+spark-submit executor-pair raw: 1x4 -> 4x4 executors =
+**{sm.get('exec_scaling_efficiency_1x4_to_4x4', 'n/a')}**, 2x4 -> 8x4
+executors = **{sm.get('exec_scaling_efficiency_2x4_to_8x4', 'n/a')}**.
+"""
+
     r_nl = results[f"local[{nl}]"]
     r_nosalt = results[f"local[{nl}]-nosalt"]
     r_split16 = results[f"local[{nl}]-split16"]
@@ -658,7 +695,7 @@ in both directions and its layout decision in both directions), and
 kernel hardware droop (the bare-kernel ceiling column — near-flat
 on an idle box).
 
-{amort_md}
+{amort_md}{submit_md}
 ## Skew & layout ablations (explicit skew handling evidence)
 
 All at local[{nl}] on the same corpus; "sorted" = adversarial layout
