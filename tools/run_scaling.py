@@ -223,9 +223,16 @@ def main() -> None:
         "results, re-measure the hardware ceilings, and regenerate the "
         "derived fields + BENCH/BASELINE.md",
     )
+    ap.add_argument(
+        "--render",
+        action="store_true",
+        help="like --regen but also reuse the STORED kernel ceilings (no "
+        "probe, no CPU load): pure re-render of BENCH/BASELINE.md from "
+        "the stored JSON artifacts — safe to run next to a timed window",
+    )
     args = ap.parse_args()
 
-    if args.regen:
+    if args.regen or args.render:
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
             prior = json.load(f)
         args.docs = prior["n_docs"]
@@ -239,6 +246,7 @@ def main() -> None:
             # ceiling may merge max-wise with the stored one (a
             # capability supremum only ever rises as windows improve)
             prior_ceil=prior.get("kernel_ceiling_agg_crops_per_s"),
+            skip_probe=args.render,
         )
         return
 
@@ -390,7 +398,8 @@ def main() -> None:
 
 
 def _finish(
-    args, results, eff_cores, loadavg_start, loadavg_end, prior_ceil=None
+    args, results, eff_cores, loadavg_start, loadavg_end, prior_ceil=None,
+    skip_probe=False,
 ) -> None:
     nl = args.n_large
     thr_n = results[f"local[{args.n_small}]"]["docs_per_sec"]
@@ -428,7 +437,11 @@ def _finish(
 
     # hardware envelope for the ACTUAL kernel (no Spark): aggregate
     # crops/s of N concurrent pure-python forward passes
-    ceil = kernel_ceiling()
+    if skip_probe and prior_ceil:
+        ceil = {int(k): float(v) for k, v in prior_ceil.items()}
+        prior_ceil = None
+    else:
+        ceil = kernel_ceiling()
     if prior_ceil:
         ceil = {
             k: max(v, float(prior_ceil.get(str(k), 0.0)))
