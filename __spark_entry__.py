@@ -168,8 +168,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus": lambda s, d: dedup.dedupped_corpus(
         _t(s, d, "documents")
     ).select("doc_id", "source", "n_chars"),
-    "banded_pairs_bucket_cap": lambda s, d: dedup.minhash_banded_pairs(
-        _boilerplate_docs(_t(s, d, "documents")), max_bucket=20
+    # benchmark decontamination (13-gram overlap vs a held-out split —
+    # the pre-train step that keeps eval questions out of the corpus)
+    "contamination_check": lambda s, d: dedup.contamination_check(
+        _t(s, d, "documents")
     ),
     "jaccard_banded_pairs": lambda s, d: dedup.jaccard_banded_pairs(
         _t(s, d, "documents")
@@ -232,6 +234,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gate via tests/test_oracle_parity.py; they stay registered so a
     # reference user can still run them.
     "ocr_extract_heavy_path": _q_extract_heavy_path,
+    # max_bucket-guard proof: demoted from the window for
+    # contamination_check (same minhash family; minhash_banded_pairs,
+    # _recall, jaccard_banded_pairs and dedup_corpus stay gated above)
+    "banded_pairs_bucket_cap": lambda s, d: dedup.minhash_banded_pairs(
+        _boilerplate_docs(_t(s, d, "documents")), max_bucket=20
+    ),
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
     # exact all-candidates Jaccard baseline; its banded production twin
@@ -892,6 +900,20 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d JOIN kl ON d.doc_id = kl.doc_id
         WHERE kl.keep = 1
+    """,
+    "contamination_check": """
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        grams AS (
+          SELECT doc_id, md5(array_to_string(w[i:i+12], ' ')) AS g
+          FROM docs, unnest(generate_series(1, len(w) - 12)) t(i)
+          WHERE len(w) >= 13),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        SELECT c.doc_id,
+               count(DISTINCT c.g) AS n_contaminated_ngrams
+        FROM grams c JOIN bench USING (g)
+        WHERE c.doc_id % 20 <> 0
+        GROUP BY c.doc_id
     """,
     "banded_pairs_bucket_cap": f"""
         WITH documents AS (

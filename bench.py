@@ -29,6 +29,7 @@ DEFAULT_QUERIES = [
     "minhash_banded_pairs",
     "simhash_hamming_pairs",
     "dedup_corpus",
+    "contamination_check",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

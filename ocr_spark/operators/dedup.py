@@ -627,3 +627,61 @@ def dedup_summary(
             F.when(F.col("keep") == 0, F.col("cluster_id"))
         ).alias("n_dup_clusters"),
     )
+
+
+# ------------------------- benchmark decontamination -------------------------
+
+DECON_N = 13  # word n-gram width — the GPT-3 decontamination setting
+
+
+def _ngram_hashes(words, n: int):
+    """Distinct md5 hashes of the word n-grams of a words-array column
+    (codegen expression — same idiom as the 5-gram dedup shingles)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({words}) - {n}), "
+        f"i -> md5(concat_ws(' ', slice({words}, i + 1, {n})))))"
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame, benchmark: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    ``n``-gram with a held-out evaluation set -> (doc_id,
+    n_contaminated_ngrams). The step every training-data pipeline runs
+    before a model train so eval questions leaking into the corpus
+    don't inflate benchmark scores.
+
+    100 TB shape: the benchmark side is SMALL (eval suites are MBs
+    against a PB corpus), so its distinct n-gram hash set is
+    broadcast; the corpus side is a map-only explode + broadcast hash
+    semi-join — corpus n-grams are never shuffled, and only the
+    (rare) hits reach the per-doc count's exchange. Both inputs are
+    (doc_id, text); docs shorter than ``n`` words cannot contaminate
+    and drop out before the explode."""
+    def grams(df: DataFrame) -> DataFrame:
+        d = df.select("doc_id", F.split("text", " ").alias("w"))
+        return (
+            d.where(F.size("w") >= n)
+            .select("doc_id", F.explode(_ngram_hashes("w", n)).alias("g"))
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(_spread(corpus))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_contaminated_ngrams"))
+    )
+
+
+def contamination_check(docs: DataFrame, modulus: int = 20, n: int = DECON_N) -> DataFrame:
+    """Self-contained decontamination query over one documents table:
+    every ``modulus``-th doc_id plays the held-out benchmark, the rest
+    the training corpus (this is exactly how real contamination
+    happens — eval items drawn from the same web crawl). Planted
+    duplicate documents make the overlap non-trivial at every SF."""
+    is_bench = (F.col("doc_id") % modulus) == 0
+    return contamination_hits(
+        docs.where(~is_bench), docs.where(is_bench), n=n
+    )

@@ -172,3 +172,35 @@ def test_bucket_cap_guard_with_exact_fallback(spark):
     groups = {r["fp"]: r for r in dedup.exact_dup_groups(d).collect()}
     boiler_group = [g for g in groups.values() if g["n_docs"] == 30]
     assert len(boiler_group) == 1 and boiler_group[0]["keeper"] == 0
+
+
+def test_contamination_hits_planted_leak(spark):
+    """A corpus doc embedding an exact 13-word benchmark span is
+    flagged with the right distinct-gram count; clean docs are not."""
+    bench_words = [f"q{i}" for i in range(15)]  # 15 words -> 3 13-grams
+    leak = "pre " * 3 + " ".join(bench_words[:13]) + " post" * 2
+    clean = " ".join(f"w{i}" for i in range(30))
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_words))], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, leak), (2, clean), (3, "short text")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["n_contaminated_ngrams"]
+            for r in dedup.contamination_hits(corpus, bench).collect()}
+    assert rows == {1: 1}  # exactly the planted 13-gram, once
+
+
+def test_contamination_check_matches_manual_split(spark, docs):
+    """The self-contained %20 split equals contamination_hits on the
+    same explicit split, and is non-trivial on the driver corpus
+    (planted duplicates leak across the split)."""
+    is_bench = (F.col("doc_id") % 20) == 0
+    manual = dedup.contamination_hits(
+        docs.where(~is_bench), docs.where(is_bench)
+    )
+    auto = dedup.contamination_check(docs)
+    a = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in auto.collect()}
+    m = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in manual.collect()}
+    assert a == m
+    assert a, "driver corpus should contain planted cross-split dups"

@@ -84,10 +84,13 @@ GATED_REQUIRED = {
     "stopword_fraction", "repetition_ratio", "lang_id",
     "doc_fingerprint", "char_vocab", "length_histogram",
     "edit_distance", "arith_verdict_udf", "approx_distinct_check",
-    # dedup (production-shaped)
+    # dedup (production-shaped); banded_pairs_bucket_cap was demoted
+    # below the window in round 4 to make room for contamination_check
+    # (it keeps its local oracle gate here, and its family keeps 5
+    # gated rows)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dup_clusters_banded", "dedup_corpus",
-    "banded_pairs_bucket_cap", "jaccard_banded_pairs",
+    "contamination_check", "jaccard_banded_pairs",
     # similarity / ANN
     "knn_cosine_topk", "knn_cosine_ivf", "embedding_near_dup",
     "ivf_recall", "ivf_kmeans_recall",

@@ -100,6 +100,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # are no cartesian corpus^2 and no Python fallback.
     ("embedding_near_dup", [],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # decontamination: bench gram set broadcasts (eval suites are MBs
+    # vs a PB corpus); corpus grams must meet it in a broadcast hash
+    # join — a sort-merge here would shuffle EVERY corpus 13-gram
+    ("contamination_check", ["BroadcastHashJoin", "partial_count"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
