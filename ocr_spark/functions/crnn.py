@@ -114,13 +114,18 @@ def render_label(label: str, seed: int) -> np.ndarray:
 
 def _conv2d_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     """x [Cin, H, W], k [Cout, Cin, 3, 3] -> [Cout, H-2, W-2] via
-    im2col + one BLAS matmul (the fast path: this is where the
-    compute budget goes, as in the real model). With
-    OCR_SPARK_CONV=shiftsum and Cin > 1, the multi-channel conv runs
-    as 9 channel-matmuls over strided views instead — no Cin*9-wide
-    im2col materialization (~1.5 MB/crop for conv2); values differ
-    only in summation order, which the classifier's round(10)
-    quantization absorbs (fixture-asserted)."""
+    SLAB im2col + one BLAS matmul (the fast path: this is where the
+    compute budget goes, as in the real model). The column matrix is
+    assembled as 9 whole-slab strided copies (one per kernel tap)
+    instead of the per-window gather a transpose+reshape of
+    sliding_window_view compiles to — same bytes, ~3x faster to
+    build, and the [Cout, 9Cin] @ [9Cin, HW] orientation writes the
+    output contiguous so the old final transpose-copy disappears.
+    Same dot products up to BLAS summation order, which the
+    classifier's round(10) quantization absorbs (fixture-asserted).
+    With OCR_SPARK_CONV=shiftsum and Cin > 1, the multi-channel conv
+    runs as 9 channel-matmuls over strided views instead (the A/B
+    arm BENCH/NOTES_r4.md section 16 measured)."""
     cin, h, w = x.shape
     cout = k.shape[0]
     if _CONV_IMPL == "shiftsum" and cin > 1:
@@ -130,11 +135,15 @@ def _conv2d_valid(x: np.ndarray, k: np.ndarray) -> np.ndarray:
                 sl = x[:, di : di + h - 2, dj : dj + w - 2]
                 out += np.tensordot(k[:, :, di, dj], sl, axes=([1], [0]))
         return out
-    windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(1, 2))
-    # windows: [Cin, H-2, W-2, 3, 3] -> [(H-2)*(W-2), Cin*9]
-    cols = windows.transpose(1, 2, 0, 3, 4).reshape((h - 2) * (w - 2), cin * 9)
-    out = cols @ k.reshape(cout, cin * 9).T  # [(H-2)(W-2), Cout]
-    return out.T.reshape(cout, h - 2, w - 2)
+    h2, w2 = h - 2, w - 2
+    cols = np.empty((9, cin, h2, w2))
+    for di in range(3):
+        for dj in range(3):
+            cols[di * 3 + dj] = x[:, di : di + h2, dj : dj + w2]
+    # k[co, ci, di, dj] -> kk[co, (di*3+dj)*Cin + ci] to match cols
+    kk = k.transpose(0, 2, 3, 1).reshape(cout, 9 * cin)
+    out = kk @ cols.reshape(9 * cin, h2 * w2)
+    return out.reshape(cout, h2, w2)
 
 
 def _maxpool(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
@@ -190,10 +199,14 @@ def _conv2d_valid2(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     model_fraction2.py:60)."""
     cin, h, w = x.shape
     cout = k.shape[0]
-    windows = np.lib.stride_tricks.sliding_window_view(x, (2, 2), axis=(1, 2))
-    cols = windows.transpose(1, 2, 0, 3, 4).reshape((h - 1) * (w - 1), cin * 4)
-    out = cols @ k.reshape(cout, cin * 4).T
-    return out.T.reshape(cout, h - 1, w - 1)
+    h2, w2 = h - 1, w - 1
+    cols = np.empty((4, cin, h2, w2))  # slab im2col (see _conv2d_valid)
+    for di in range(2):
+        for dj in range(2):
+            cols[di * 2 + dj] = x[:, di : di + h2, dj : dj + w2]
+    kk = k.transpose(0, 2, 3, 1).reshape(cout, 4 * cin)
+    out = kk @ cols.reshape(4 * cin, h2 * w2)
+    return out.reshape(cout, h2, w2)
 
 
 def conv_features(img: np.ndarray, weights: dict, variant: str = "base") -> np.ndarray:
@@ -437,13 +450,18 @@ def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
                     0, 3, 1, 2
                 )
         return out
-    windows = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(2, 3))
-    # [N, Cin, H-2, W-2, 3, 3] -> [N*(H-2)*(W-2), Cin*9]
-    cols = windows.transpose(0, 2, 3, 1, 4, 5).reshape(
-        n * (h - 2) * (w - 2), cin * 9
-    )
-    out = cols @ k.reshape(cout, cin * 9).T
-    return out.reshape(n, h - 2, w - 2, cout).transpose(0, 3, 1, 2)
+    # slab im2col, batched (see _conv2d_valid): cols[tap, ci, b, i, j]
+    h2, w2 = h - 2, w - 2
+    xv = x.transpose(1, 0, 2, 3)  # [Cin, N, H, W] view
+    cols = np.empty((9, cin, n, h2, w2))
+    for di in range(3):
+        for dj in range(3):
+            cols[di * 3 + dj] = xv[:, :, di : di + h2, dj : dj + w2]
+    kk = k.transpose(0, 2, 3, 1).reshape(cout, 9 * cin)
+    out = kk @ cols.reshape(9 * cin, n * h2 * w2)
+    # [Cout, N, H2, W2] -> [N, Cout, H2, W2] as a VIEW; downstream
+    # strided max-pool and reshape handle the non-contiguity
+    return out.reshape(cout, n, h2, w2).transpose(1, 0, 2, 3)
 
 
 def _maxpool_batch(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
