@@ -221,10 +221,13 @@ def conv_features(img: np.ndarray, weights: dict, variant: str = "base") -> np.n
     content gets its own frames. Both keep D = 96, so the recurrence
     and classifier-head machinery are shared."""
     x = img[None, :, :]
-    x = np.maximum(_conv2d_valid(x, weights["conv1"]), 0.0)
-    x = _maxpool(x, 2, 2)
-    x = np.maximum(_conv2d_valid(x, weights["conv2"]), 0.0)
-    x = _maxpool(x, 2, 1)
+    # ReLU commutes with max-pool (both are maxes), so pooling FIRST
+    # shrinks the ReLU pass 4x (2x) — values exactly identical, and
+    # the clamp runs in place on the pooled map
+    x = _maxpool(_conv2d_valid(x, weights["conv1"]), 2, 2)
+    np.maximum(x, 0.0, out=x)
+    x = _maxpool(_conv2d_valid(x, weights["conv2"]), 2, 1)
+    np.maximum(x, 0.0, out=x)
     if variant == "conv9":
         x = np.maximum(_conv2d_valid(x, weights["conv9"]), 0.0)
     elif variant == "fraction":
@@ -263,23 +266,25 @@ def recurrent_mix(feats: np.ndarray, wh: np.ndarray, alpha: float = 0.25) -> np.
     (profiled: 47 ms -> ~4 ms per label), leaving the conv matmuls as
     the dominant (and representative) compute."""
     t, d = feats.shape
-    out = np.empty((2, t, d))
-    # allocation-free steps: same ops in the same order (bit-identical
-    # to the naive h = tanh(x + wh*h) form), but tanh lands directly in
-    # the out row instead of a fresh array that is then copied there —
-    # one fewer array write per step and zero per-step allocations
-    buf = np.empty(d)
-    h = np.zeros(d)
+    # BOTH directions step together as one [2, d] state: the forward
+    # pass walks feats as-is, the backward pass walks it reversed, so
+    # step i needs [feats[i], feats[t-1-i]] — staged once into xs.
+    # Halves the per-step numpy dispatch count (the [d]-vector steps
+    # are dispatch-bound); every op stays elementwise, so the values
+    # are bitwise identical to two independent scans. Steps stay
+    # allocation-free: tanh lands directly in the out row.
+    xs = np.empty((t, 2, d))
+    xs[:, 0] = feats
+    xs[:, 1] = feats[::-1]
+    out = np.empty((t, 2, d))
+    buf = np.empty((2, d))
+    h = np.zeros((2, d))
     for i in range(t):
         np.multiply(wh, h, out=buf)
-        buf += feats[i]
-        h = np.tanh(buf, out=out[0, i])
-    h = np.zeros(d)
-    for i in range(t - 1, -1, -1):
-        np.multiply(wh, h, out=buf)
-        buf += feats[i]
-        h = np.tanh(buf, out=out[1, i])
-    return feats + alpha * (out[0] + out[1])
+        buf += xs[i]
+        h = np.tanh(buf, out=out[i])
+    # out[i, 0] = forward h_i; out[i, 1] = backward h_{t-1-i}
+    return feats + alpha * (out[:, 0] + out[::-1, 1])
 
 
 _CTX = 4  # classifier sees +-4 neighboring frames (~a full glyph width)
@@ -481,10 +486,11 @@ def _maxpool_batch(x: np.ndarray, ph: int, pw: int) -> np.ndarray:
 def conv_features_batch(imgs: np.ndarray, weights: dict) -> np.ndarray:
     """[N, H, W] same-shaped images -> [N, T, D] timestep features,
     T = sequence_length(W)."""
-    x = np.maximum(_conv2d_valid_batch(imgs[:, None, :, :], weights["conv1"]), 0.0)
-    x = _maxpool_batch(x, 2, 2)
-    x = np.maximum(_conv2d_valid_batch(x, weights["conv2"]), 0.0)
-    x = _maxpool_batch(x, 2, 1)
+    # pool-then-relu as in conv_features (exactly identical values)
+    x = _maxpool_batch(_conv2d_valid_batch(imgs[:, None, :, :], weights["conv1"]), 2, 2)
+    np.maximum(x, 0.0, out=x)
+    x = _maxpool_batch(_conv2d_valid_batch(x, weights["conv2"]), 2, 1)
+    np.maximum(x, 0.0, out=x)
     n, c, h, t = x.shape
     feats = x.reshape(n, c * h, t).transpose(0, 2, 1)  # [N, T, D]
     want = sequence_length(imgs.shape[2])
@@ -500,20 +506,22 @@ def recurrent_mix_batch(
     (it is a real dependency) but advances all N crops per step.
     Elementwise tanh/mul/add — bit-identical to the per-sequence path."""
     n, t, d = feats.shape
-    out = np.empty((2, n, t, d))
-    # same allocation-free step shape as recurrent_mix (bit-identical)
-    buf = np.empty((n, d))
-    h = np.zeros((n, d))
+    # direction-stacked as in recurrent_mix (bitwise identical):
+    # one [2, n, d] state steps both scans per dispatch
+    ft = feats.transpose(1, 0, 2)  # [T, N, D] view
+    xs = np.empty((t, 2, n, d))
+    xs[:, 0] = ft
+    xs[:, 1] = ft[::-1]
+    out = np.empty((t, 2, n, d))
+    buf = np.empty((2, n, d))
+    h = np.zeros((2, n, d))
     for i in range(t):
         np.multiply(wh, h, out=buf)
-        buf += feats[:, i]
-        h = np.tanh(buf, out=out[0, :, i])
-    h = np.zeros((n, d))
-    for i in range(t - 1, -1, -1):
-        np.multiply(wh, h, out=buf)
-        buf += feats[:, i]
-        h = np.tanh(buf, out=out[1, :, i])
-    return feats + alpha * (out[0] + out[1])
+        buf += xs[i]
+        h = np.tanh(buf, out=out[i])
+    fwd = out[:, 0].transpose(1, 0, 2)       # [N, T, D]
+    bwd = out[::-1, 1].transpose(1, 0, 2)
+    return feats + alpha * (fwd + bwd)
 
 
 def _class_probs_batch_stacked(feats: np.ndarray, weights: dict) -> np.ndarray:
