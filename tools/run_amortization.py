@@ -6,19 +6,27 @@ sample, parquet commit) that perfectly explains the same-box raw
 scaling knee at 6000 documents: wall(c) ~= s + W/c with s ~= 10 s,
 W ~= 300 core-seconds. That term is a sandbox artifact of SHORT jobs
 — a production run is hours long and amortizes it to zero — so this
-harness re-measures the four local[] configs on a 4x corpus (24000
-docs), where the same engine and the same plan should read raw
-4 -> 16 efficiency near the amortized limit. Protocol is identical
-to run_scaling.py (cold JVM per run, warm-up excluded, 3 timed reps
+harness re-measures the four local[] configs on a scaled-up corpus,
+where the same engine and the same plan should read raw 4 -> 16
+efficiency near the amortized limit. Protocol is identical to
+run_scaling.py (cold JVM per run, warm-up excluded, 3 timed reps
 INTERLEAVED across configs, medians); run_scaling's --regen folds the
 result into BENCH/BASELINE.md as its own section.
 
-Usage: python tools/run_amortization.py [--docs 24000] [--timed 3]
+The corpus multiplier tracks the KERNEL, not a fixed doc count:
+"amortized" is a wall-time statement (per-job serial seconds vs
+parallel work seconds), so every time the recognition kernel gets
+faster the corpus must grow proportionally to keep the serial term
+the same small fraction of the wall. 24000 docs amortized the
+round-4 mid-round kernel; the late-round slab/pool/recurrence push
+(~2x) moved the default to 48000.
+
+Usage: python tools/run_amortization.py [--docs 48000] [--timed 3]
 
 ``--exec-pairs`` measures the north rule's LITERAL form in the
 amortized regime instead: N vs 4N EXECUTORS (local-cluster masters,
 real separate executor JVMs at 4 cores each — 1x4 -> 4x4 and
-2x4 -> 8x4) on the same 4x corpus, and MERGES the results into the
+2x4 -> 8x4) on the same amortized corpus, and MERGES the results into the
 existing BENCH/amortization.json (the local[] block keeps its own
 measurement window; each efficiency ratio is computed strictly within
 one window, which is the portable quantity on this co-tenant box).
@@ -57,7 +65,7 @@ def _stage_corpus(docs: int) -> tuple[str, str]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=24000)
+    ap.add_argument("--docs", type=int, default=48000)
     ap.add_argument("--timed", type=int, default=3)
     ap.add_argument(
         "--exec-pairs",
@@ -118,8 +126,8 @@ def main() -> None:
         payload["exec_protocol"] = (
             "N -> 4N EXECUTORS (local-cluster, separate executor JVMs, "
             f"4 cores each), {args.timed} interleaved timed reps, medians, "
-            "same 4x corpus; measured in its OWN window (ratios are "
-            "within-window)"
+            f"same {args.docs / 6000:g}x corpus; measured in its OWN window "
+            "(ratios are within-window)"
         )
         payload["exec_loadavg_start"] = [round(x, 2) for x in loadavg_start]
         payload["exec_loadavg_end"] = [round(x, 2) for x in loadavg_end]
@@ -164,7 +172,9 @@ def main() -> None:
         "scaling_efficiency_8_to_32": round(med[8] / med[32] / 4, 3),
         "protocol": "identical to run_scaling.py (cold JVM, warm-up "
         f"excluded, {args.timed} interleaved timed reps, medians) at a "
-        "4x corpus so the ~10 s per-job serial term amortizes",
+        f"{args.docs / 6000:g}x corpus so the ~10 s per-job serial term "
+        "amortizes (corpus multiplier tracks kernel speed: amortization "
+        "is a wall-time property)",
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in loadavg_end],
     }

@@ -524,8 +524,9 @@ def _finish(
         for p_ in exec_pairs
     ).rstrip("\n")
     # fixed-cost amortization addendum (tools/run_amortization.py):
-    # the same four local[] configs at a 4x corpus, where the ~10 s
-    # per-JOB serial term (Amdahl fit of the main table) amortizes
+    # the same four local[] configs at a kernel-scaled corpus, where
+    # the ~10 s per-JOB serial term (Amdahl fit of the main table)
+    # amortizes
     amort_md = ""
     amort_path = os.path.join(REPO, "BENCH", "amortization.json")
     if os.path.exists(amort_path):
@@ -699,7 +700,9 @@ s + W/c reproduces the table within the bare-kernel droop, and
 cluster-4x4 matching local[16] to 0.03% rules out single-JVM
 contention. The serial term is a constant per JOB, so it vanishes at
 production job lengths — measured directly in the amortization
-section below, where the same binary at a 4x corpus reads raw
+section below, where the same binary at an amortized corpus (sized
+so the serial term is negligible against the CURRENT kernel's
+per-doc cost — see tools/run_amortization.py) reads raw
 4 -> 16 and 8 -> 32 ABOVE the 0.8 target. Also ruled out by direct
 measurement (BENCH/NOTES_r4.md): the parquet write stage (agg-only
 twin scales identically), partition stragglers (the probe-gated

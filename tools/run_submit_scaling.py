@@ -17,12 +17,13 @@ cluster at two cluster sizes" — this harness is that sentence, verbatim:
 - each run is one ``spark-submit --master local-cluster[n,4,4096]``
   process: a cold JVM AND cold executors per the protocol, with the
   128-doc warm-up inside the session excluded from the timed region;
-- the amortized-regime corpus (24000 docs by default — the 6000-doc
+- the amortized-regime corpus (48000 docs by default — the 6000-doc
   protocol corpus carries a ~10 s per-JOB serial term that understates
-  any 4N config, see BENCH/NOTES_r4.md section 8) and the same
+  any 4N config, see BENCH/NOTES_r4.md section 8; the multiplier
+  tracks kernel speed, see run_amortization.py) and the same
   interleaved-reps/median protocol as every other timing artifact.
 
-Usage: python tools/run_submit_scaling.py [--docs 24000] [--timed 3]
+Usage: python tools/run_submit_scaling.py [--docs 48000] [--timed 3]
        [--pairs 1x4,4x4,2x4,8x4]
 """
 
@@ -90,7 +91,7 @@ def submit_once(scratch: str, zip_path: str, corpus: str, out: str,
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--docs", type=int, default=24000)
+    ap.add_argument("--docs", type=int, default=48000)
     ap.add_argument("--timed", type=int, default=3)
     ap.add_argument("--pairs", default="1x4,4x4,2x4,8x4",
                     help="comma list of CONFIGS keys, run interleaved in order")
