@@ -97,6 +97,9 @@ def _boilerplate_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+_BUCKET_STAGING_DIRS: set[str] = set()
+
+
 def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order revenue over the BUCKETED layout (plans/bucketed.py):
     orders and lineitem are first materialized as parquet tables
@@ -104,18 +107,31 @@ def _q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate both run with ZERO exchanges (REQUIRE SortMergeJoin /
     FORBID Exchange in docs/PLANS.md) — the production plan of record
     for repeated equi-joins at 100 TB. Values must equal the plain
-    shuffled-join oracle exactly."""
+    shuffled-join oracle exactly.
+
+    Table names and the staging path carry a per-session token (the
+    Spark application id) so concurrent sessions sharing a warehouse
+    cannot clobber each other mid-query; repeated calls within one
+    session overwrite the same path (no /tmp accumulation), and the
+    staging dir is removed at interpreter exit."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     from ocr_spark.plans import bucketed  # noqa: PLC0415
 
-    tmp = tempfile.mkdtemp(prefix="ocr_buckets_")
+    token = spark.sparkContext.applicationId.replace("-", "_")
+    tmp = os.path.join(tempfile.gettempdir(), f"ocr_buckets_{token}")
+    if tmp not in _BUCKET_STAGING_DIRS:
+        _BUCKET_STAGING_DIRS.add(tmp)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     orders_b = bucketed.write_bucketed(
-        _t(spark, sf_dir, "orders"), "ocr_orders_bucketed",
+        _t(spark, sf_dir, "orders"), f"ocr_orders_bucketed_{token}",
         f"{tmp}/orders", 8, "o_orderkey",
     )
     lineitem_b = bucketed.write_bucketed(
-        _t(spark, sf_dir, "lineitem"), "ocr_lineitem_bucketed",
+        _t(spark, sf_dir, "lineitem"), f"ocr_lineitem_bucketed_{token}",
         f"{tmp}/lineitem", 8, "l_orderkey",
     )
     return bucketed.revenue_per_order_bucketed(orders_b, lineitem_b)

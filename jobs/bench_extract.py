@@ -21,6 +21,21 @@ does exactly that.
 
 from __future__ import annotations
 
+import os
+
+# Driver-side BLAS pinning must happen BEFORE any ocr_spark import:
+# importing ocr_spark.plans.extract loads numpy/OpenBLAS (via pandas),
+# and OpenBLAS reads its thread env once at load — a later setdefault
+# (build_submit_session's) is a no-op for the driver process.
+for _var in (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+    "VECLIB_MAXIMUM_THREADS",
+):
+    os.environ.setdefault(_var, "1")
+
 import argparse
 import json
 import time

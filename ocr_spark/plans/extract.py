@@ -120,73 +120,172 @@ def media_span_count(col="spans"):
 
 _PROBE_ROWS = 128  # per-FILE prefix rows the layout probe reads
 _PROBE_CLUSTER_RATIO = 6.0  # max/median file prefix mean => clustered
+_LOCAL_HEAD_FILES = 512  # <= this many files: driver threadpool, no Spark job
 
 
-def layout_skew_probe(docs: DataFrame, k: int = _PROBE_ROWS) -> float:
-    """Bounded layout-clustering probe: max over the scan's FILES of
-    the prefix-mean media density, divided by the median file's.
+def _read_head(uri: str, k: int) -> tuple[float, float, float] | None:
+    """(sum media, rows, max per-doc media) over one file's first ``k``
+    rows, or None when the head cannot be read. URIs resolve through
+    ``pyarrow.fs`` (hdfs://, s3a://, ...) with a local-path fallback."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+    from urllib.parse import urlparse  # noqa: PLC0415
 
-    ~1 on hash-uniform layouts, >> 1 when ingest order correlates
-    with media density so heavy documents cluster into few files
-    (measured: random layout ~2.4, globally-sorted layout ~20+; the
-    6.0 threshold sits between with margin on both sides). This is
-    the sandbox stand-in for the Iceberg manifests' per-FILE
-    aggregates of an ingest-computed media-count column — which at
-    production scale make this a metadata-only read with no blind
-    spot. Here each file's head is read in parallel (one file-path
-    row per task batch, ``mapInPandas`` over the file list; at most
-    ``k`` rows per file via one bounded ``iter_batches`` pull), NOT
-    via scan partitions: the file scan packs small files by
-    ``openCostInBytes``, so partition prefixes can bury a clustered
-    file mid-partition and miss it.
+    try:
+        try:
+            from pyarrow import fs as pafs  # noqa: PLC0415
 
-    A file whose footer/head cannot be read contributes nothing; if
-    NO file is readable the probe returns +inf — unobservable layout
-    means buy the insurance."""
-    spark = docs.sparkSession
-    files = docs.inputFiles()
-    if not files:
-        return 1.0  # non-file source: uniform by construction
+            filesystem, path = pafs.FileSystem.from_uri(uri)
+            pf = pq.ParquetFile(filesystem.open_input_file(path))
+        except Exception:  # noqa: BLE001 — scheme pyarrow can't mount
+            pf = pq.ParquetFile(urlparse(uri).path or uri)
+        batch = next(pf.iter_batches(batch_size=k, columns=["spans"]), None)
+    except Exception:  # noqa: BLE001 — unreadable file: skip
+        return None
+    if batch is None:
+        return None
+    s = n = mx = 0
+    for row in batch.column("spans").to_pylist():
+        m = sum(1 for sp in (row or []) if sp["kind"] == "media")
+        s += m
+        mx = max(mx, m)
+        n += 1
+    if n == 0:
+        return None
+    return (float(s), float(n), float(mx))
+
+
+def _head_stats_result(files_seen: int, s_tot, n_tot, mx, top, med) -> dict:
+    """Shared ratio/mean/mx edge semantics for both head-stats paths."""
+    if files_seen == 0:
+        return {"ratio": float("inf"), "mean": 0.0, "mx": 0, "files_seen": 0}
+    if med <= 0:
+        ratio = float("inf") if top > 0 else 1.0
+    else:
+        ratio = top / med
+    mean = (s_tot / n_tot) if n_tot else 0.0
+    return {"ratio": ratio, "mean": mean, "mx": int(mx), "files_seen": files_seen}
+
+
+def _file_head_stats(
+    spark: SparkSession, files: list[str], k: int = _PROBE_ROWS
+) -> dict:
+    """ONE bounded executor-parallel job over the scan's files, feeding
+    BOTH pre-plan decisions (``extract``'s heavy-threshold statistics
+    and the salt's layout-clustering probe) so the auto path pays a
+    single Spark job instead of two.
+
+    Each file's head is read in parallel (one file-path row per task
+    batch, ``mapInPandas`` over the file list; at most ``k`` rows per
+    file via one bounded ``iter_batches`` pull), NOT via scan
+    partitions: the file scan packs small files by ``openCostInBytes``,
+    so partition prefixes can bury a clustered file mid-partition and
+    miss it. URIs are resolved through ``pyarrow.fs.FileSystem.from_uri``
+    so the probe also observes remote object stores (hdfs://, s3a://),
+    with a local-path fallback; a file whose head cannot be read
+    contributes nothing.
+
+    The per-file (sum, rows, max) triples are reduced EXECUTOR-side —
+    the per-file means are sorted inside one aggregate buffer (an array
+    of one double per file, ~8 MB at 10^6 files on one executor, never
+    on the driver) and the driver receives a single 6-scalar row, O(1)
+    in file count. This is the sandbox stand-in for the Iceberg
+    manifests' per-FILE aggregates of an ingest-computed media-count
+    column — which at production scale make all of this a metadata-only
+    read with no blind spot.
+
+    Returns ``{"ratio", "mean", "mx", "files_seen"}``:
+
+    - ``ratio`` — max over files of the prefix-mean media density over
+      the median file's (~1 on hash-uniform layouts, ~2.4 on random,
+      20+ on cost-sorted; median = the sorted upper-middle element,
+      exactly as the pre-r5 driver-side reduction computed it). +inf
+      when NO file is readable: unobservable layout means buy the
+      salt insurance.
+    - ``mean`` / ``mx`` — per-document media-span mean and observed max
+      across every sampled file head (the heavy-threshold inputs).
+
+    Two physical paths, identical results: at most ``_LOCAL_HEAD_FILES``
+    files the heads are read by a driver-side thread pool (each read is
+    a bounded ~``k``-row head; launching a Spark job to read 64 file
+    heads costs ~0.9 s of pure scheduling — measured — vs ~0.1 s of
+    driver I/O), beyond that an executor-parallel job whose per-file
+    triples are reduced EXECUTOR-side (the means sort inside one
+    aggregate buffer, ~8 MB at 10^6 files on one executor, never on the
+    driver) and the driver receives a single 6-scalar row, O(1) in file
+    count.
+    """
+    if len(files) <= _LOCAL_HEAD_FILES:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            triples = [t for t in ex.map(lambda u: _read_head(u, k), files) if t]
+        if not triples:
+            return _head_stats_result(0, 0, 0, 0, 0, 0)
+        means = sorted(s / n for s, n, _ in triples)
+        return _head_stats_result(
+            len(triples),
+            sum(s for s, _, _ in triples),
+            sum(n for _, n, _ in triples),
+            max(m for _, _, m in triples),
+            means[-1],
+            means[len(means) // 2],
+        )
+
     fdf = spark.createDataFrame(
         [(f,) for f in files], "path string"
     ).repartition(min(len(files), 256))
 
     def heads(pdfs):
         import pandas as pd  # noqa: PLC0415
-        import pyarrow.parquet as pq  # noqa: PLC0415
-        from urllib.parse import urlparse  # noqa: PLC0415
 
         for pdf in pdfs:
-            s_out, n_out = [], []
-            for uri in pdf["path"]:
-                try:
-                    local = urlparse(uri).path or uri
-                    pf = pq.ParquetFile(local)
-                    batch = next(
-                        pf.iter_batches(batch_size=k, columns=["spans"]),
-                        None,
-                    )
-                except Exception:  # noqa: BLE001 — unreadable file: skip
-                    continue
-                if batch is None:
-                    continue
-                s = n = 0
-                for row in batch.column("spans").to_pylist():
-                    s += sum(1 for sp in (row or []) if sp["kind"] == "media")
-                    n += 1
-                if n:
-                    s_out.append(float(s))
-                    n_out.append(float(n))
-            yield pd.DataFrame({"s": s_out, "n": n_out})
+            triples = [t for t in (_read_head(u, k) for u in pdf["path"]) if t]
+            yield pd.DataFrame(
+                {
+                    "s": [t[0] for t in triples],
+                    "n": [t[1] for t in triples],
+                    "mx": [t[2] for t in triples],
+                }
+            )
 
-    stats = fdf.mapInPandas(heads, schema="s double, n double").collect()
-    means = sorted(r["s"] / r["n"] for r in stats)
-    if not means:
-        return float("inf")
-    med = means[len(means) // 2]
-    if med <= 0:
-        return float("inf") if means[-1] > 0 else 1.0
-    return means[-1] / med
+    per_file = fdf.mapInPandas(heads, schema="s double, n double, mx double")
+    row = (
+        per_file.select("s", "n", "mx", (F.col("s") / F.col("n")).alias("m"))
+        .agg(
+            F.sum("s").alias("s_tot"),
+            F.sum("n").alias("n_tot"),
+            F.max("mx").alias("mx"),
+            F.max("m").alias("top"),
+            # sorted upper-middle element (element_at is 1-indexed, so
+            # 0-indexed len//2 == 1-indexed len//2 + 1) — byte-identical
+            # to the driver-threadpool path's ``means[len(means) // 2]``
+            F.element_at(
+                F.sort_array(F.collect_list("m")),
+                (F.floor(F.count("m") / 2) + 1).cast("int"),
+            ).alias("med"),
+            F.count("m").alias("files_seen"),
+        )
+        .first()
+    )
+    return _head_stats_result(
+        int(row["files_seen"] or 0),
+        row["s_tot"],
+        row["n_tot"],
+        row["mx"] or 0,
+        row["top"] or 0,
+        row["med"] if row["med"] is not None else 0,
+    )
+
+
+def layout_skew_probe(docs: DataFrame, k: int = _PROBE_ROWS) -> float:
+    """Bounded layout-clustering probe: max over the scan's FILES of
+    the prefix-mean media density, divided by the median file's.
+    See :func:`_file_head_stats` (which computes it, alongside the
+    heavy-threshold statistics, in one executor-reduced job)."""
+    files = docs.inputFiles()
+    if not files:
+        return 1.0  # non-file source: uniform by construction
+    return _file_head_stats(docs.sparkSession, files, k)["ratio"]
 
 
 def extract(
@@ -221,11 +320,20 @@ def extract(
       per-file aggregates of an ingest-computed media-count column, so
       this is a metadata-only read. Exact max => the branch-drop
       decision is exact. THE intended production mode.
-    - ``'sample'`` (default) — estimate both from a bounded
-      ``limit(HEAVY_SAMPLE_DOCS)`` partial scan (CollectLimit reads one
-      or two partitions and stops). The sampled max under-observes the
-      tail, so a missed mega-doc rides the light path — slower, never
-      wrong; manifests are the fix at production scale.
+    - ``'sample'`` (default) — estimate both from a bounded partial
+      read. File-backed sources use ONE :func:`_file_head_stats` job
+      (per-file prefix heads, executor-reduced) whose result also
+      answers the salt probe — the whole auto path costs a single
+      pre-plan Spark job; non-file sources fall back to a
+      ``limit(HEAVY_SAMPLE_DOCS)`` partial scan (CollectLimit reads
+      one or two partitions and stops). The sampled max under-observes
+      the tail, so a missed mega-doc rides the light path — slower,
+      never wrong; manifests are the fix at production scale.
+      NOTE: with ``'sample'`` or the in-band salt probe, plan
+      CONSTRUCTION runs that bounded job eagerly — plan-only callers
+      (explain audits, dry runs) should pass exact ``media_stats``
+      stats and ``salt=True/False`` (or ``scan_partitions``) to keep
+      construction lazy.
     - ``'exact'`` — the full sum/max aggregate, kept as the explicit
       fallback for corpora with neither metadata nor a trustworthy
       prefix sample.
@@ -268,17 +376,36 @@ def extract(
 
     docs = docs.withColumn("_n_media", media_span_count())
 
+    # the bounded file-head job feeds BOTH auto decisions (sampled
+    # stats + salt probe); memoized so the auto path pays it once
+    _head_cache: dict = {}
+
+    def _head_stats():
+        if "v" not in _head_cache:
+            files = docs.inputFiles()
+            _head_cache["v"] = (
+                _file_head_stats(spark, files) if files else None
+            )
+        return _head_cache["v"]
+
     if heavy_threshold == "auto":
         if isinstance(media_stats, tuple):
             mean, mx = media_stats
         elif media_stats == "sample":
-            row = (
-                docs.select("_n_media")
-                .limit(HEAVY_SAMPLE_DOCS)
-                .agg(F.avg("_n_media").alias("mean"), F.max("_n_media").alias("mx"))
-                .first()
-            )
-            mean, mx = (row["mean"] or 0.0), (row["mx"] or 0)
+            hs = _head_stats()
+            if hs is not None and hs["files_seen"] > 0:
+                mean, mx = hs["mean"], hs["mx"]
+            else:
+                row = (
+                    docs.select("_n_media")
+                    .limit(HEAVY_SAMPLE_DOCS)
+                    .agg(
+                        F.avg("_n_media").alias("mean"),
+                        F.max("_n_media").alias("mx"),
+                    )
+                    .first()
+                )
+                mean, mx = (row["mean"] or 0.0), (row["mx"] or 0)
         elif media_stats == "exact":
             row = docs.agg(
                 F.avg("_n_media").alias("mean"), F.max("_n_media").alias("mx")
@@ -327,7 +454,9 @@ def extract(
         if scan_partitions < parallelism:
             salt = True
         elif scan_partitions < 4 * parallelism:
-            salt = layout_skew_probe(docs) >= _PROBE_CLUSTER_RATIO
+            hs = _head_stats()  # memoized: free when 'sample' already ran it
+            ratio = hs["ratio"] if hs is not None else 1.0
+            salt = ratio >= _PROBE_CLUSTER_RATIO
         else:
             salt = False
 

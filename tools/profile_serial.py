@@ -5,11 +5,14 @@ scaling job inside one cold session at local[32].
 Phases timed separately:
   weights   — default_weights() construction on the driver (closed-form
               classifier fit + conv banks) + sc.broadcast serialization
-  stats     — the bounded limit(HEAVY_SAMPLE_DOCS) sample job
+  stats     — the bounded pre-plan job: since r5 ONE combined
+              _file_head_stats job (sampled stats + salt probe,
+              executor-reduced); the old limit(HEAVY_SAMPLE_DOCS)
+              sample job is timed alongside for comparison
   plan      — DataFrame construction + .explain (Catalyst analysis)
   execute   — the actual extract + parquet write action
-  commit    — (included in execute; parquet commit is not separable
-              from the action without a listener)
+  commit    — approximated as execute_and_write - execute_noop_sink
+              (same plan run into a no-op sink)
 
 Usage: python tools/profile_serial.py [--docs 6000] [--cpus 32]
 """
@@ -87,7 +90,13 @@ def main() -> None:
         .agg(F.avg("_n_media").alias("mean"), F.max("_n_media").alias("mx"))
         .first()
     )
-    t["stats_sample_job"] = time.time() - t0
+    t["stats_sample_job_legacy"] = time.time() - t0
+
+    from ocr_spark.plans.extract import _file_head_stats
+
+    t0 = time.time()
+    _ = _file_head_stats(spark, docs.inputFiles())
+    t["head_stats_job"] = time.time() - t0
 
     t0 = time.time()
     plan_df = extract(docs, heavy_threshold="auto", salt="auto", media_stats="sample")
