@@ -75,25 +75,31 @@ def test_every_query_has_oracle_or_is_extraction():
 # Round 3 lost 12 relational green rows by inserting new queries ahead
 # of them — this pins the membership so it can't regress silently.
 GATE_WINDOW = 50
+# r5 rotation (VERDICT r4 #4 — re-arm hard gates periodically):
+# ocr_extract_text_spans, sparse_label_encode, knn_cosine_ivf_probe2
+# and banded_pairs_bucket_cap rotated INTO the window;
+# value_percentiles (exact values still emitted and gated through
+# approx_percentile_check), dup_clusters_banded (content feeds the
+# gated dedup_corpus), ivf_recall (same recall gate runs gated via
+# ivf_kmeans_recall) and contamination_check (gated r4) rotated out —
+# all four keep their local DuckDB parity gate in this file.
 GATED_REQUIRED = {
     # extraction
-    "ocr_extract_spans", "ocr_extract_invariants",
+    "ocr_extract_spans", "ocr_extract_invariants", "ocr_extract_text_spans",
     # text stats / functions
     "clean_text", "cjk_boilerplate_filter", "token_count",
     "bpe_token_count", "rolling_fingerprint", "quality_score",
     "stopword_fraction", "repetition_ratio", "lang_id",
     "doc_fingerprint", "char_vocab", "length_histogram",
     "edit_distance", "arith_verdict_udf", "approx_distinct_check",
-    # dedup (production-shaped); banded_pairs_bucket_cap was demoted
-    # below the window in round 4 to make room for contamination_check
-    # (it keeps its local oracle gate here, and its family keeps 5
-    # gated rows)
+    "sparse_label_encode",
+    # dedup (production-shaped)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
-    "simhash_hamming_pairs", "dup_clusters_banded", "dedup_corpus",
-    "contamination_check", "jaccard_banded_pairs",
+    "simhash_hamming_pairs", "dedup_corpus",
+    "banded_pairs_bucket_cap", "jaccard_banded_pairs",
     # similarity / ANN
     "knn_cosine_topk", "knn_cosine_ivf", "embedding_near_dup",
-    "ivf_recall", "ivf_kmeans_recall",
+    "knn_cosine_ivf_probe2", "ivf_kmeans_recall",
     # multimodal
     "media_catalog", "ocr_media_decode_stats", "ocr_media_frame_sample",
     # evaluation / geometry
@@ -101,7 +107,7 @@ GATED_REQUIRED = {
     # pairing / windows / relational
     "mutual_nearest_pair", "topk_per_group", "value_band_join",
     "sessionize", "moving_avg", "unmatched_events",
-    "value_percentiles", "approx_percentile_check",
+    "approx_percentile_check",
     # TPC-H family
     "pricing_summary", "top_revenue_orders", "event_rollup",
     "local_supplier_volume", "order_priority_counts",
