@@ -435,6 +435,15 @@ _HEAD_IMPL = _os.environ.get("OCR_SPARK_HEAD", "shiftsum")
 # multi-channel conv form: 'im2col' (default) or 'shiftsum' (9 strided
 # channel-matmuls, no im2col materialization) — round(10)-equal decode
 _CONV_IMPL = _os.environ.get("OCR_SPARK_CONV", "im2col")
+# recurrence batch width: how many same-width crops step one [2, B, D]
+# recurrent state together. UNLIKE conv/head stacking (cache-bound,
+# loses at fleet concurrency — see _MAX_CROPS), the diagonal recurrence
+# is numpy-DISPATCH-bound: each step is a few [2, D] elementwise
+# vectors (~2 us of work behind ~3 us of dispatch), so batching B crops
+# amortizes the dispatch B-fold while the per-step working set stays
+# [2, B, D] ~ B * 1.5 KB — L2-resident even at 64. Values are bitwise
+# identical to per-crop stepping (elementwise ops only).
+_REC_BATCH = int(_os.environ.get("OCR_SPARK_REC_BATCH", "64"))
 
 
 def _conv2d_valid_batch(x: np.ndarray, k: np.ndarray) -> np.ndarray:
@@ -572,23 +581,36 @@ def class_probs_batch(feats: np.ndarray, weights: dict) -> np.ndarray:
 
 def forward_probs_batch(imgs: list, weights: dict) -> list:
     """Batched ``forward_probs`` over arbitrarily-shaped crops: group
-    by image shape (width == label length determines it), sub-batch to
-    ``_MAX_CROPS``, run the stacked forward pass, return per-crop
+    by image shape (width == label length determines it). The conv
+    stack and classifier head run in ``_MAX_CROPS`` sub-batches (they
+    are CACHE-bound: stacking them measured 1.7x SLOWER at 32-worker
+    fleet concurrency, see the _MAX_CROPS note), while the
+    dispatch-bound diagonal recurrence steps one [2, B, D] state across
+    up to ``_REC_BATCH`` same-width crops at a time. Per-crop values
+    are bitwise identical to the unbatched path (elementwise ops only;
+    asserted by test_crnn and the frozen fixtures). Returns per-crop
     [T, N_CLASSES] matrices in input order."""
     out: list = [None] * len(imgs)
     by_shape: dict[tuple, list[int]] = {}
     for i, im in enumerate(imgs):
         by_shape.setdefault(im.shape, []).append(i)
     for idxs in by_shape.values():
-        for s in range(0, len(idxs), _MAX_CROPS):
-            sub = idxs[s : s + _MAX_CROPS]
-            stack = np.stack([imgs[i] for i in sub])
-            feats = recurrent_mix_batch(
-                conv_features_batch(stack, weights), weights["wh"]
-            )
-            probs = class_probs_batch(feats, weights)
-            for j, i in enumerate(sub):
-                out[i] = probs[j]
+        for s in range(0, len(idxs), _REC_BATCH):
+            chunk = idxs[s : s + _REC_BATCH]
+            parts = [
+                conv_features_batch(
+                    np.stack([imgs[i] for i in chunk[u : u + _MAX_CROPS]]),
+                    weights,
+                )
+                for u in range(0, len(chunk), _MAX_CROPS)
+            ]
+            feats = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            mixed = recurrent_mix_batch(feats, weights["wh"])
+            for u in range(0, len(chunk), _MAX_CROPS):
+                sub = chunk[u : u + _MAX_CROPS]
+                probs = class_probs_batch(mixed[u : u + len(sub)], weights)
+                for j, i in enumerate(sub):
+                    out[i] = probs[j]
     return out
 
 

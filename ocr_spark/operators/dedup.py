@@ -643,8 +643,22 @@ def _ngram_hashes(words, n: int):
     )
 
 
+# Broadcast budget for the benchmark gram set: 2M distinct 32-char md5
+# keys ~ 64 MB of raw key bytes per executor (plus hash-relation
+# overhead) — comfortably inside a production executor's broadcast
+# headroom, far above any real eval suite (open-bench suites are
+# 10^4-10^6 items; GPT-3's decontamination set was ~10^6 13-grams per
+# benchmark). Beyond it the join falls back to a shuffled hash
+# semi-join: the corpus grams pay one exchange, but no executor ever
+# materializes the oversized gram set whole.
+DECON_BROADCAST_GRAMS = 2_000_000
+
+
 def contamination_hits(
-    corpus: DataFrame, benchmark: DataFrame, n: int = DECON_N
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_N,
+    max_broadcast_grams: int = DECON_BROADCAST_GRAMS,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing any word
     ``n``-gram with a held-out evaluation set -> (doc_id,
@@ -658,7 +672,15 @@ def contamination_hits(
     semi-join — corpus n-grams are never shuffled, and only the
     (rare) hits reach the per-doc count's exchange. Both inputs are
     (doc_id, text); docs shorter than ``n`` words cannot contaminate
-    and drop out before the explode."""
+    and drop out before the explode.
+
+    The broadcast is BUDGETED: one cheap count over the (small) gram
+    set decides, and a set larger than ``max_broadcast_grams`` falls
+    back to a shuffled hash semi-join instead of broadcasting —
+    an oversized eval split degrades to one corpus-gram exchange
+    rather than OOMing every executor (pinned by
+    tests/test_dedup_lsh.py: identical rows, no BroadcastHashJoin in
+    the fallback plan)."""
     def grams(df: DataFrame) -> DataFrame:
         d = df.select("doc_id", F.split("text", " ").alias("w"))
         return (
@@ -667,9 +689,15 @@ def contamination_hits(
         )
 
     bench_grams = grams(benchmark).select("g").distinct()
+    corpus_grams = grams(_spread(corpus))
+    # one bounded job over the SMALL side (MBs by construction) buys
+    # the budget decision; the corpus side stays untouched either way
+    if bench_grams.count() <= max_broadcast_grams:
+        joined = corpus_grams.join(F.broadcast(bench_grams), "g")
+    else:
+        joined = corpus_grams.join(bench_grams.hint("shuffle_hash"), "g")
     return (
-        grams(_spread(corpus))
-        .join(F.broadcast(bench_grams), "g")
+        joined
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_contaminated_ngrams"))
     )

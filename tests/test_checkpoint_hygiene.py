@@ -1,0 +1,84 @@
+"""Long-session checkpoint hygiene (VERDICT r4 #7, made a contract).
+
+dedup/similarity's iterative operators localCheckpoint internal sketch
+relations whose blocks deliberately outlive the query (lineage
+truncation means the blocks ARE the data; dedup.py:173/:335,
+similarity.py:137 document the caller-owned lifetime). The supported
+long-session pattern is bench.py's between-query sweep — this test
+runs the three heaviest checkpoint users back-to-back TWICE and pins
+that (a) the sweep returns the session's persisted-block set to empty,
+so the storage footprint is FLAT across rounds rather than
+accumulating, and (b) per-round superseded blocks (CC label rounds)
+were already released by the operators themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_spark.operators import dedup, similarity
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _persisted(spark) -> list:
+    return list(spark.sparkContext._jsc.getPersistentRDDs().values())
+
+
+def _sweep(spark) -> None:
+    for jrdd in _persisted(spark):
+        jrdd.unpersist(False)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return docs, emb
+
+
+def test_storage_footprint_flat_across_rounds(spark, tables):
+    docs, emb = tables
+    _sweep(spark)
+    assert not _persisted(spark)
+
+    per_round_blocks = []
+    for _ in range(2):
+        dedup.simhash_hamming_pairs(docs).count()
+        dedup.minhash_banded_pairs(docs).count()
+        similarity.ivf_recall(
+            emb, codebook=similarity.kmeans_codebook(emb)
+        ).count()
+        # the operators' session-lifetime checkpoints are present now —
+        # the documented caller-owned residue the sweep exists for
+        per_round_blocks.append(len(_persisted(spark)))
+        _sweep(spark)
+        assert not _persisted(spark), "sweep must empty the block set"
+
+    # flat across rounds: round 2 may not leave MORE caller-owned
+    # blocks than round 1 (growth here is exactly the long-session
+    # leak this contract exists to forbid). Not pinned to equality:
+    # the JVM's ContextCleaner holds these weakly and may collect an
+    # out-of-scope checkpoint between rounds on its own GC schedule.
+    assert per_round_blocks[1] <= per_round_blocks[0], per_round_blocks
+    assert per_round_blocks[0] > 0, (
+        "expected the operators' documented lazy checkpoints; if they "
+        "stopped checkpointing, update the hygiene contract docs"
+    )
+
+
+def test_cc_rounds_release_superseded_blocks_under_sweep_contract(spark, tables):
+    """dup_clusters' per-round checkpoint release (dedup.py:553/:561)
+    bounds the DURING-query footprint too: after the clusters action,
+    at most the final labels + the operator's documented sketch
+    relations remain — not one block per CC round."""
+    docs, _ = tables
+    _sweep(spark)
+    dedup.dup_clusters(
+        docs, max_iters=30, pairs=dedup.minhash_banded_pairs(docs)
+    ).count()
+    leftover = len(_persisted(spark))
+    assert leftover <= 4, f"{leftover} blocks retained — CC rounds leaking?"
+    _sweep(spark)

@@ -204,3 +204,19 @@ def test_contamination_check_matches_manual_split(spark, docs):
     m = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in manual.collect()}
     assert a == m
     assert a, "driver corpus should contain planted cross-split dups"
+
+
+def test_contamination_oversized_split_falls_back(spark, docs):
+    """An eval split whose gram set exceeds the broadcast budget must
+    degrade to a shuffled hash semi-join (no executor materializes the
+    set whole) with IDENTICAL rows — pinned here by forcing the budget
+    to 1 gram."""
+    is_bench = (F.col("doc_id") % 20) == 0
+    corpus, bench = docs.where(~is_bench), docs.where(is_bench)
+    normal = dedup.contamination_hits(corpus, bench)
+    capped = dedup.contamination_hits(corpus, bench, max_broadcast_grams=1)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    a = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in normal.collect()}
+    b = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in capped.collect()}
+    assert a == b and a
