@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_QUERIES = [
     "ocr_extract_spans",
+    "ocr_extract_text_spans",
     "clean_text",
     "arith_verdict_udf",
     "minhash_signature",

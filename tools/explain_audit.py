@@ -41,6 +41,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("moving_avg", ["Window"], ["Exchange rangepartitioning"]),
     ("mutual_nearest_pair", ["Window"], ["CartesianProduct"]),
     ("ocr_extract_spans", ["MapInArrow"], ["CartesianProduct", "BatchEvalPython"]),
+    # text-path content gate: one scan -> span construction (codegen) ->
+    # the real extraction kernel; heavy branch provably dropped and
+    # salt=False, so the whole plan is shuffle-free
+    ("ocr_extract_text_spans", ["MapInArrow"],
+     ["Exchange", "CartesianProduct", "BatchEvalPython"]),
     # the (band, key) self-join may legitimately be a broadcast at small
     # SF and a shuffled equi-join at scale; the contract is only that it
     # is never nested-loop/cartesian and never drops to Python
