@@ -104,3 +104,39 @@ def test_salted_output_matches_unsalted(spark, corpora):
         map(tuple, extract(docs, salt=False, media_stats=(2.5, 8.0)).collect())
     )
     assert a == b
+
+
+def test_head_stats_paths_agree(spark, corpora, monkeypatch):
+    """The driver-threadpool and executor-reduced head-stats paths must
+    return identical statistics (same reduction semantics, different
+    physical execution) — forced here by dropping the local-path file
+    bound to 0."""
+    import ocr_spark.plans.extract as px
+
+    rnd, srt = corpora
+    for path in (rnd, srt):
+        files = spark.read.parquet(path).inputFiles()
+        local = px._file_head_stats(spark, files)
+        monkeypatch.setattr(px, "_LOCAL_HEAD_FILES", 0)
+        dist = px._file_head_stats(spark, files)
+        monkeypatch.undo()
+        assert local == dist, (path, local, dist)
+
+
+def test_sample_stats_share_the_probe_pass(spark, corpora):
+    """media_stats='sample' + in-band salt='auto' on a file-backed
+    source must not leave TWO pre-plan jobs' worth of machinery: the
+    memoized head stats feed both. Verified behaviorally — the auto
+    plan equals the plan built from the head pass's own statistics."""
+    import ocr_spark.plans.extract as px
+
+    rnd, _ = corpora
+    docs = spark.read.parquet(rnd)
+    hs = px._file_head_stats(spark, docs.inputFiles())
+    auto = extract(docs)  # sample stats + probe, one shared pass
+    explicit = extract(docs, media_stats=(hs["mean"], hs["mx"]))
+    a = auto._jdf.queryExecution().executedPlan().toString()
+    b = explicit._jdf.queryExecution().executedPlan().toString()
+    # same salt decision; same heavy threshold decision modulo the
+    # sample-mode branch-drop rule (exact stats may drop the branch)
+    assert ("Exchange" in a) == ("Exchange" in b)

@@ -549,9 +549,12 @@ def _finish(
             )
             exec_md = f"""
 The north rule's LITERAL form — N -> 4N EXECUTORS (local-cluster,
-real separate executor JVMs at 4 cores each) — in the same amortized
-regime (measured in its own window, ratios within-window; loadavg
-{tuple(am['exec_loadavg_start'])} at start):
+real separate executor JVMs at 4 cores each) — in the amortized
+regime at {am.get('exec_n_docs', am['n_docs'])} docs (executor JVMs
+carry a larger per-job fixed cost than in-process local[] threads —
+JVM boot, worker daemons, registration — so this form amortizes at a
+longer wall; measured in its own window, ratios within-window;
+loadavg {tuple(am['exec_loadavg_start'])} at start):
 
 | config | median wall (s) | docs/sec |
 |---|---|---|
