@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ocr_spark.functions import sparse
 from ocr_spark.functions.text_clean import TRANSLATE_MATCHING, TRANSLATE_REPLACE
 from ocr_spark.operators import (
+    corpus,
     dedup,
     evaluate,
     geometry,
@@ -202,7 +203,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_extract_text_spans": _q_extract_text_spans,
     "clean_text": lambda s, d: textstats.clean_documents(_t(s, d, "documents")),
     "cjk_boilerplate_filter": lambda s, d: textstats.cjk_filter_counts(_t(s, d, "documents")),
-    "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
+    # r5 addition: deterministic md5-coin stratified sampling — a NEW
+    # family (training-mix construction, zero-shuffle), gated from day
+    # one; token_count rotates below (token-counting family stays
+    # gated via bpe_token_count, which emits the whitespace count too)
+    "stratified_sample": lambda s, d: corpus.stratified_sample(
+        _t(s, d, "documents")
+    ),
     "bpe_token_count": lambda s, d: textstats.bpe_token_counts(_t(s, d, "documents")),
     "rolling_fingerprint": lambda s, d: textstats.rolling_fingerprints(
         _t(s, d, "documents")
@@ -215,7 +222,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents")
     ),
     "lang_id": lambda s, d: textstats.lang_id(_t(s, d, "documents")),
-    "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
+    # r5 addition: C4/RefinedWeb-style line-level exact dedup — a NEW
+    # family (corpus construction), gated from day one; doc_fingerprint
+    # rotates below (fingerprint family stays gated via
+    # rolling_fingerprint + char_vocab)
+    "line_dedup_stats": lambda s, d: corpus.line_dedup_stats(
+        _t(s, d, "documents")
+    ),
     "char_vocab": lambda s, d: textstats.char_vocab(_t(s, d, "documents")),
     "length_histogram": lambda s, d: textstats.length_histogram(_t(s, d, "documents")),
     "edit_distance": lambda s, d: textstats.edit_distances(_t(s, d, "documents")),
@@ -318,6 +331,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and banded_pairs_bucket_cap, rotating value_percentiles,
     # dup_clusters_banded, ivf_recall and contamination_check down here.
     "ocr_extract_heavy_path": _q_extract_heavy_path,
+    # r5 additions living below the line from day one: dup_gram_stats
+    # extends the (already heavily gated) dedup family with the Lee et
+    # al. 2021 duplicated-n-gram signal; doc_fingerprint and
+    # token_count rotated down to make window room for the two NEW
+    # families above (line_dedup_stats, stratified_sample). All three
+    # keep the local DuckDB gate in tests/test_oracle_parity.py.
+    "dup_gram_stats": lambda s, d: corpus.dup_gram_stats(
+        _t(s, d, "documents")
+    ),
+    "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
+    "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
     "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
         _t(s, d, "documents"),
         max_iters=30,
@@ -370,6 +394,23 @@ def _dk_shingles(w: str) -> str:
         f"i -> md5(array_to_string({w}[i:i+4], ' '))))"
     )
 
+
+# Stratified-sample thresholds derived from the SAME policy dict the
+# Spark operator reads, so the oracle can never drift from the code.
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{lang}' THEN "
+    + (
+        "TRUE"
+        if rate >= 1.0
+        else "FALSE"
+        if rate <= 0.0
+        else (
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{format(int(rate * 16**8), '08x')}'"
+        )
+    )
+    for lang, rate in sorted(corpus.DEFAULT_RATES.items())
+)
 
 _PERM_A_SQL = "[" + ",".join(str(v) for v in dedup.PERM_A) + "]"
 _PERM_B_SQL = "[" + ",".join(str(v) for v in dedup.PERM_B) + "]"
@@ -1019,6 +1060,46 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d JOIN kl ON d.doc_id = kl.doc_id
         WHERE kl.keep = 1
+    """,
+    "line_dedup_stats": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        lines AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(list_slice(ws,
+                     i * {corpus.LINE_WORDS} + 1,
+                     i * {corpus.LINE_WORDS} + {corpus.LINE_WORDS}), ' ') AS line
+          FROM w, unnest(range(CAST(ceil(len(ws) / {corpus.LINE_WORDS}.0)
+                                    AS BIGINT))) AS t(i)
+        ),
+        keep AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                       ORDER BY doc_id, idx) AS rn
+          FROM lines
+        )
+        SELECT doc_id, count(*) AS n_lines,
+               count(*) FILTER (WHERE rn = 1) AS n_kept,
+               coalesce(string_agg(line, ' ' ORDER BY idx)
+                        FILTER (WHERE rn = 1), '') AS kept_text
+        FROM keep GROUP BY doc_id
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE CASE lang {_SAMPLE_CASE} ELSE TRUE END
+    """,
+    "dup_gram_stats": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 substr(md5(array_to_string(
+                     list_slice(ws, i + 1, i + {corpus.GRAM_N}), ' ')),
+                     1, 16) AS gk
+          FROM w, unnest(range(CAST(greatest(len(ws) - {corpus.GRAM_N - 1}, 0)
+                                    AS BIGINT))) AS t(i)
+        ),
+        freq AS (SELECT gk, count(*) AS cnt FROM grams GROUP BY gk)
+        SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE f.cnt >= 2) AS n_dup_grams
+        FROM grams g JOIN freq f USING (gk) GROUP BY g.doc_id
     """,
     "contamination_check": """
         WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -31,6 +31,9 @@ DEFAULT_QUERIES = [
     "simhash_hamming_pairs",
     "dedup_corpus",
     "contamination_check",
+    "line_dedup_stats",
+    "dup_gram_stats",
+    "stratified_sample",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

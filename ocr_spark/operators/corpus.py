@@ -1,0 +1,170 @@
+"""Corpus-construction operators for a web-scale training-data build.
+
+Three operators the reference pipeline never had but any 100 TB
+training-mix build needs. All three are expression-level (the scans
+stay inside whole-stage codegen — no Python rows anywhere) and each
+has an exact DuckDB oracle in ``__spark_entry__.oracle_sql()``.
+
+- **Line-level exact dedup** (``line_dedup_stats``): the C4 /
+  RefinedWeb boilerplate-removal step — drop every repeated line,
+  keeping only its globally-first occurrence, and reassemble the
+  cleaned document. The synthetic corpus carries no newlines, so a
+  "line" here is a fixed ``width``-word chunk (the chunker is the
+  only corpus-specific part; on a real crawl pass the natural
+  delimiter via ``split_pattern``). Scale shape: lines are reduced to
+  a 16-byte key, the keeper is ``min(struct(doc_id, idx))`` with
+  map-side partial aggregation — a billion-copy boilerplate line
+  ("Subscribe to our newsletter") collapses to ONE row per partition
+  before the shuffle, which is why this is a groupBy+join-back and
+  deliberately NOT a ``row_number() OVER (PARTITION BY line)`` window
+  (the window form would sort the full billion-row group on one
+  reducer). The join-back probe is skewed by the same boilerplate;
+  that side is a hash-join probe (never a sort) and AQE's skew-join
+  splitting handles it.
+
+- **Deterministic stratified sampling** (``stratified_sample``): build
+  a language mix by downsampling over-represented strata with a
+  content-addressed coin — keep a doc iff the first 8 hex chars of
+  ``md5(doc_id)`` fall below the stratum's rate threshold. Map-only:
+  ZERO shuffles, no RNG state, reproducible bit-for-bit across
+  reruns, cluster sizes and partitionings (``sample()`` is none of
+  those), and composable: a later re-run at a lower rate selects a
+  strict subset.
+
+- **Duplicated n-gram span stats** (``dup_gram_stats``): the
+  exact-substring-dedup signal of Lee et al. 2021 ("Deduplicating
+  Training Data Makes Language Models Better") at n-gram
+  granularity: for every document, how many of its word ``n``-grams
+  occur elsewhere in the corpus. Grams are reduced to 64-bit-ish keys
+  (16 hex chars of md5) before the shuffle, so the exchange carries
+  ~24 bytes per gram, never text. The doc-frequency aggregate is
+  map-side partial; the count join-back is an equi hash join (AQE
+  skew-split on boilerplate grams). Emits integer numerators and
+  denominators only — the caller derives the fraction — so the gate
+  hash never compares floats.
+
+No reference counterpart (cited inventory: SURVEY.md §2 "beyond the
+reference" table); these extend the dedup family in
+ocr_spark/operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.operators.dedup import _spread
+
+LINE_WORDS = 16
+GRAM_N = 8
+
+# Default mix policy for the gated query: halve 'en' (the synthetic
+# corpus's over-represented stratum), thin 'zh' to 3/4, keep the rest.
+DEFAULT_RATES: dict[str, float] = {"en": 0.25, "zh": 0.75}
+
+
+def _doc_lines(docs: DataFrame, width: int) -> DataFrame:
+    """Explode documents into (doc_id, idx, line) fixed-width word
+    chunks. ``size(split(...))`` >= 1 always (Spark splits '' to ['']),
+    so the sequence upper bound is >= 0 and never runs backwards."""
+    return (
+        _spread(docs)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(ws) / {width}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(ws, i * {width} + 1, {width})))"
+                )
+            ).alias("idx", "line"),
+        )
+    )
+
+
+def line_dedup_stats(docs: DataFrame, width: int = LINE_WORDS) -> DataFrame:
+    """Global line-level exact dedup: a line instance survives iff it is
+    the corpus-wide FIRST occurrence of its content, ordered by
+    (doc_id, idx). Returns one row per document:
+
+      doc_id, n_lines, n_kept, kept_text (surviving lines re-joined in
+      document order; '' when every line of the doc appeared earlier
+      elsewhere).
+
+    min(struct(doc_id, idx)) per line key == the first occurrence under
+    lexicographic (doc_id, idx) — the same total order the oracle's
+    row_number() uses."""
+    lines = _doc_lines(docs, width).withColumn("lk", F.md5("line"))
+    keepers = lines.groupBy("lk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("keeper")
+    )
+    flagged = lines.join(keepers, "lk").select(
+        "doc_id",
+        "idx",
+        "line",
+        (F.struct("doc_id", "idx") == F.col("keeper")).alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN kept THEN"
+                " struct(idx, line) END)), x -> x.line)"
+            ),
+        ).alias("kept_text"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff
+    substr(md5(doc_id), 1, 8) < floor(rate * 16^8) formatted as 8 hex
+    digits (lowercase hex compares identically as string and number).
+    Strata absent from ``rates`` (and any rate >= 1.0) keep everything;
+    rate <= 0 drops the stratum. Purely a filter over the scan — the
+    plan carries no Exchange at all."""
+    policy = DEFAULT_RATES if rates is None else rates
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    cond = F.lit(True)
+    for lang, rate in sorted(policy.items()):
+        if rate >= 1.0:
+            keep = F.lit(True)
+        elif rate <= 0.0:
+            keep = F.lit(False)
+        else:
+            keep = u < F.lit(format(int(rate * 16**8), "08x"))
+        cond = F.when(F.col("lang") == lang, keep).otherwise(cond)
+    return docs.where(cond).select("doc_id", "lang", "source")
+
+
+def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
+    """Per-document duplicated n-gram exposure: n_grams = word n-grams
+    in the doc, n_dup_grams = how many of those positions carry a gram
+    whose GLOBAL occurrence count (across and within documents) is
+    >= 2. Documents shorter than n words have no grams and are absent
+    from the output (the oracle builds from the gram set too)."""
+    grams = (
+        _spread(docs)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {n}),"
+                    f" i -> substring(md5(concat_ws(' ', slice(ws, i + 1, {n}))), 1, 16))"
+                )
+            ).alias("gk"),
+        )
+    )
+    freq = grams.groupBy("gk").agg(F.count("*").alias("cnt"))
+    return (
+        grams.join(freq, "gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )

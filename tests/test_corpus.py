@@ -1,0 +1,170 @@
+"""Unit tests for the corpus-construction operators (line-level exact
+dedup, deterministic stratified sampling, duplicated-n-gram stats).
+Their sf0.01 DuckDB parity gate lives in test_oracle_parity.py; these
+pin the hand-checkable edge semantics on tiny in-memory tables."""
+
+import pytest
+
+from ocr_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+# ---------------------------------------------------------------- lines
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    # width=2 chunks: doc 0 -> ["a b", "c d"], doc 1 -> ["a b", "x y"],
+    # doc 2 -> ["a b"]. "a b" survives only at (doc 0, idx 0).
+    df = _docs(
+        spark,
+        [
+            (0, "a b c d", "en", "s"),
+            (1, "a b x y", "en", "s"),
+            (2, "a b", "en", "s"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup_stats(df, width=2).collect()
+    }
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["kept_text"] == "a b c d"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "x y"
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 0
+    assert out[2]["kept_text"] == ""
+
+
+def test_line_dedup_first_occurrence_within_one_doc(spark):
+    # Intra-doc repetition dedups too: keeper ordering is (doc_id, idx).
+    df = _docs(spark, [(7, "a b a b a b", "en", "s")])
+    row = corpus.line_dedup_stats(df, width=2).collect()[0]
+    assert row["n_lines"] == 3
+    assert row["n_kept"] == 1
+    assert row["kept_text"] == "a b"
+
+
+def test_line_dedup_ragged_tail_chunk(spark):
+    # 5 words at width=2 -> chunks "a b", "c d", "e": the short tail is
+    # a line of its own and dedups against an identical full doc "e".
+    df = _docs(
+        spark,
+        [(0, "a b c d e", "en", "s"), (1, "e", "en", "s")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.line_dedup_stats(df, width=2).collect()
+    }
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["n_lines"] == 1 and out[1]["n_kept"] == 0
+
+
+def test_line_dedup_reassembles_in_document_order(spark):
+    # Kept lines must re-join in idx order even when a middle line drops.
+    df = _docs(
+        spark,
+        [(0, "x y", "en", "s"), (1, "p q x y r s", "en", "s")],
+    )
+    out = {
+        r["doc_id"]: r["kept_text"]
+        for r in corpus.line_dedup_stats(df, width=2).collect()
+    }
+    assert out[1] == "p q r s"
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_is_deterministic_and_lower_rate_is_subset(spark):
+    df = _docs(
+        spark,
+        [(i, "t", "en" if i % 2 else "zh", "s") for i in range(200)],
+    )
+    half = {r["doc_id"] for r in
+            corpus.stratified_sample(df, {"en": 0.5}).collect()}
+    half2 = {r["doc_id"] for r in
+             corpus.stratified_sample(df, {"en": 0.5}).collect()}
+    quarter = {r["doc_id"] for r in
+               corpus.stratified_sample(df, {"en": 0.25}).collect()}
+    assert half == half2  # bit-for-bit reproducible, no RNG state
+    assert quarter <= half  # lower rate selects a strict subset
+    # zh has no policy entry -> kept in full
+    assert all(i in half for i in range(0, 200, 2))
+
+
+def test_stratified_sample_rate_edges(spark):
+    df = _docs(
+        spark,
+        [(i, "t", "en" if i % 2 else "zh", "s") for i in range(50)],
+    )
+    kept = corpus.stratified_sample(df, {"en": 1.0, "zh": 0.0}).collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    assert len(kept) == 25
+
+
+def test_stratified_sample_rate_is_approximately_honored(spark):
+    df = _docs(spark, [(i, "t", "en", "s") for i in range(2000)])
+    n = corpus.stratified_sample(df, {"en": 0.25}).count()
+    assert 0.20 * 2000 < n < 0.30 * 2000
+
+
+# ------------------------------------------------------------- dup grams
+
+
+def test_dup_gram_stats_counts_cross_and_intra_doc_repeats(spark):
+    # n=2 grams. doc 0: "a b","b c","c a","a b" -> "a b" repeats
+    # intra-doc (2 positions dup) and "b c" also occurs in doc 1.
+    df = _docs(
+        spark,
+        [(0, "a b c a b", "en", "s"), (1, "b c", "en", "s")],
+    )
+    out = {
+        r["doc_id"]: r for r in corpus.dup_gram_stats(df, n=2).collect()
+    }
+    assert out[0]["n_grams"] == 4
+    assert out[0]["n_dup_grams"] == 3  # both "a b" positions + "b c"
+    assert out[1]["n_grams"] == 1 and out[1]["n_dup_grams"] == 1
+
+
+def test_dup_gram_stats_short_docs_have_no_grams(spark):
+    df = _docs(
+        spark,
+        [(0, "only seven words is not quite enough", "en", "s"),
+         (1, "this document carries eight whole words in it", "en", "s")],
+    )
+    rows = corpus.dup_gram_stats(df, n=8).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_grams"] == 1 and rows[0]["n_dup_grams"] == 0
+
+
+def test_dup_gram_stats_all_unique(spark):
+    df = _docs(spark, [(0, "a b c d e", "en", "s")])
+    row = corpus.dup_gram_stats(df, n=2).collect()[0]
+    assert row["n_grams"] == 4 and row["n_dup_grams"] == 0
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_stratified_sample_plan_is_shuffle_free(spark):
+    df = _docs(spark, [(i, "t", "en", "s") for i in range(10)])
+    plan = corpus.stratified_sample(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("op", ["line", "gram"])
+def test_dedup_plans_never_nested_loop(spark, op):
+    df = _docs(spark, [(i, "a b c d e f g h i", "en", "s") for i in range(10)])
+    out = (
+        corpus.line_dedup_stats(df)
+        if op == "line"
+        else corpus.dup_gram_stats(df)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -86,13 +86,19 @@ GATE_WINDOW = 50
 GATED_REQUIRED = {
     # extraction
     "ocr_extract_spans", "ocr_extract_invariants", "ocr_extract_text_spans",
-    # text stats / functions
-    "clean_text", "cjk_boilerplate_filter", "token_count",
+    # text stats / functions — r5 additions: token_count and
+    # doc_fingerprint rotated below the line (families stay gated via
+    # bpe_token_count / rolling_fingerprint+char_vocab) to make window
+    # room for the two NEW corpus-construction families
+    "clean_text", "cjk_boilerplate_filter",
     "bpe_token_count", "rolling_fingerprint", "quality_score",
     "stopword_fraction", "repetition_ratio", "lang_id",
-    "doc_fingerprint", "char_vocab", "length_histogram",
+    "char_vocab", "length_histogram",
     "edit_distance", "arith_verdict_udf", "approx_distinct_check",
     "sparse_label_encode",
+    # corpus construction (new r5 family): line-level exact dedup and
+    # deterministic stratified sampling
+    "line_dedup_stats", "stratified_sample",
     # dedup (production-shaped)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dedup_corpus",

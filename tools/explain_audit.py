@@ -111,6 +111,24 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("contamination_check", ["BroadcastHashJoin", "partial_count"],
      ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # C4-style line-level dedup: the keeper reduction must be a
+    # map-side partial min on the 16-byte line key (NOT a window sort
+    # over the full boilerplate group); the kept-flag join-back stays
+    # an equi hash join (AQE splits the boilerplate probe skew)
+    ("line_dedup_stats", ["partial_min"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
+    # deterministic training-mix sampling is a pure filter over the
+    # scan — the plan must carry NO exchange of any kind
+    ("stratified_sample", ["codegen id :"],
+     ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    # Lee-et-al duplicated-n-gram signal: gram doc-frequency must be a
+    # map-side partial count on the 16-hex gram key (the exchange
+    # carries keys, never text); the count join-back equi, never
+    # nested-loop
+    ("dup_gram_stats", ["partial_count"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
