@@ -340,6 +340,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_gram_stats": lambda s, d: corpus.dup_gram_stats(
         _t(s, d, "documents")
     ),
+    # the end-to-end corpus build: quality gate -> line dedup -> doc
+    # dedup -> stratified sample, composed into ONE plan; every stage
+    # is individually gated in the window above
+    "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(
+        _t(s, d, "documents")
+    ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
     "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
@@ -394,6 +400,8 @@ def _dk_shingles(w: str) -> str:
         f"i -> md5(array_to_string({w}[i:i+4], ' '))))"
     )
 
+
+_SW_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 
 # Stratified-sample thresholds derived from the SAME policy dict the
 # Spark operator reads, so the oracle can never drift from the code.
@@ -1085,6 +1093,51 @@ ORACLES: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, lang, source FROM documents
         WHERE CASE lang {_SAMPLE_CASE} ELSE TRUE END
+    """,
+    "corpus_pipeline": f"""
+        WITH q AS (
+          SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+          WHERE len(toks) >= {corpus.MIN_TOKENS}
+            AND len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 100
+                >= {corpus.MIN_STOP_PCT} * len(toks)
+        ),
+        w AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+              FROM documents d JOIN q USING (doc_id)),
+        lines AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(list_slice(ws,
+                     i * {corpus.LINE_WORDS} + 1,
+                     i * {corpus.LINE_WORDS} + {corpus.LINE_WORDS}), ' ') AS line
+          FROM w, unnest(range(CAST(ceil(len(ws) / {corpus.LINE_WORDS}.0)
+                                    AS BIGINT))) AS t(i)
+        ),
+        keep AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                       ORDER BY doc_id, idx) AS rn
+          FROM lines
+        ),
+        stats AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 count(*) FILTER (WHERE rn = 1) AS n_kept,
+                 string_agg(line, ' ' ORDER BY idx)
+                     FILTER (WHERE rn = 1) AS kept_text
+          FROM keep GROUP BY doc_id
+          HAVING count(*) FILTER (WHERE rn = 1) > 0
+        ),
+        fp AS (SELECT *, md5(kept_text) AS content_fp FROM stats),
+        keepers AS (SELECT content_fp, min(doc_id) AS keeper
+                    FROM fp GROUP BY content_fp)
+        SELECT f.doc_id, q.lang, q.source, f.n_lines, f.n_kept,
+               len(string_split(f.kept_text, ' ')) AS n_tokens_kept,
+               f.content_fp
+        FROM fp f
+        JOIN keepers k USING (content_fp)
+        JOIN q USING (doc_id)
+        WHERE f.doc_id = k.keeper
+          AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
     """,
     "dup_gram_stats": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

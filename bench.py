@@ -34,6 +34,7 @@ DEFAULT_QUERIES = [
     "line_dedup_stats",
     "dup_gram_stats",
     "stratified_sample",
+    "corpus_pipeline",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

@@ -43,6 +43,11 @@ has an exact DuckDB oracle in ``__spark_entry__.oracle_sql()``.
   denominators only — the caller derives the fraction — so the gate
   hash never compares floats.
 
+``corpus_pipeline`` composes all of the above plus the Gopher-style
+quality gate into the single DataFrame plan a production corpus build
+submits: quality filter -> line dedup -> document dedup on the cleaned
+text -> stratified sample.
+
 No reference counterpart (cited inventory: SURVEY.md §2 "beyond the
 reference" table); these extend the dedup family in
 ocr_spark/operators/dedup.py.
@@ -53,6 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ocr_spark.operators.dedup import _spread
+from ocr_spark.operators.textstats import STOPWORDS as _STOPWORDS
 
 LINE_WORDS = 16
 GRAM_N = 8
@@ -116,15 +122,13 @@ def line_dedup_stats(docs: DataFrame, width: int = LINE_WORDS) -> DataFrame:
     )
 
 
-def stratified_sample(
-    docs: DataFrame, rates: dict[str, float] | None = None
-) -> DataFrame:
-    """Deterministic per-stratum downsampling: keep a document iff
-    substr(md5(doc_id), 1, 8) < floor(rate * 16^8) formatted as 8 hex
-    digits (lowercase hex compares identically as string and number).
-    Strata absent from ``rates`` (and any rate >= 1.0) keep everything;
-    rate <= 0 drops the stratum. Purely a filter over the scan — the
-    plan carries no Exchange at all."""
+def sample_cond(rates: dict[str, float] | None = None):
+    """The deterministic sampling predicate as a Column, reusable by
+    any plan stage: keep a row iff substr(md5(doc_id), 1, 8) <
+    floor(rate * 16^8) formatted as 8 lowercase hex digits (lowercase
+    hex compares identically as string and as number). Strata absent
+    from ``rates`` (and any rate >= 1.0) keep everything; rate <= 0
+    drops the stratum."""
     policy = DEFAULT_RATES if rates is None else rates
     u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     cond = F.lit(True)
@@ -136,7 +140,82 @@ def stratified_sample(
         else:
             keep = u < F.lit(format(int(rate * 16**8), "08x"))
         cond = F.when(F.col("lang") == lang, keep).otherwise(cond)
-    return docs.where(cond).select("doc_id", "lang", "source")
+    return cond
+
+
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (see ``sample_cond``).
+    Purely a filter over the scan — the plan carries no Exchange at
+    all."""
+    return docs.where(sample_cond(rates)).select("doc_id", "lang", "source")
+
+
+MIN_TOKENS = 20
+MIN_STOP_PCT = 2  # stopword floor as an integer percent — exact on both engines
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_stop_pct: int = MIN_STOP_PCT,
+    width: int = LINE_WORDS,
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """The end-to-end training-corpus build, composed from the gated
+    operators into ONE DataFrame plan — the job shape a 100 TB corpus
+    run actually submits:
+
+      1. Gopher-style quality gate (map-only): drop documents with
+         fewer than ``min_tokens`` words or a stopword share below
+         ``min_stop_pct`` percent. The floor compares integers
+         (``stop_count * 100 >= pct * n_tokens``) so the gate can
+         never drift between engines on float rounding.
+      2. Line-level exact dedup (``line_dedup_stats`` over the
+         SURVIVORS — rejected docs claim no lines); documents whose
+         every line appeared earlier are dropped.
+      3. Document-level exact dedup on the CLEANED text: keeper =
+         min(doc_id) per md5(kept_text), map-side partial agg + equi
+         join-back, same shape as the line keeper.
+      4. Deterministic stratified sampling (``sample_cond`` — a pure
+         filter, last so the mix is drawn from the deduplicated pool).
+
+    Returns one row per surviving document:
+    (doc_id, lang, source, n_lines, n_kept, n_tokens_kept, content_fp)
+    — content_fp = md5 of the cleaned text, so the correctness gate
+    hashes the pipeline's actual output content without shipping
+    full text through the compare."""
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    toks = "filter(split(text, ' '), x -> x <> '')"
+    quality = docs.where(
+        F.expr(f"size({toks}) >= {min_tokens}")
+        & F.expr(
+            f"size(filter({toks}, x -> x IN ({sw}))) * 100"
+            f" >= {min_stop_pct} * size({toks})"
+        )
+    )
+    stats = line_dedup_stats(quality, width).where(F.col("n_kept") > 0)
+    fp = stats.withColumn("content_fp", F.md5("kept_text"))
+    keepers = fp.groupBy("content_fp").agg(F.min("doc_id").alias("keeper"))
+    deduped = (
+        fp.join(keepers, "content_fp")
+        .where(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    return (
+        deduped.join(quality.select("doc_id", "lang", "source"), "doc_id")
+        .where(sample_cond(rates))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_lines",
+            "n_kept",
+            F.size(F.split("kept_text", " ")).alias("n_tokens_kept"),
+            "content_fp",
+        )
+    )
 
 
 def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:

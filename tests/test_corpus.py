@@ -148,6 +148,63 @@ def test_dup_gram_stats_all_unique(spark):
     assert row["n_grams"] == 4 and row["n_dup_grams"] == 0
 
 
+# -------------------------------------------------------------- pipeline
+
+
+def test_corpus_pipeline_composes_all_four_stages(spark):
+    # width=2 lines, min_tokens=4, stopword floor 10%:
+    #  doc 0: quality pass ("the" = 1/4 tokens), lines ["a b","c the"]
+    #  doc 1: too short -> quality-dropped, its lines claim nothing
+    #  doc 2: no stopwords -> quality-dropped
+    #  doc 3: cleaned text identical to doc 0 -> doc-dedup dropped
+    #  doc 4: shares line "a b" with doc 0 -> kept with 1 surviving line
+    df = _docs(
+        spark,
+        [
+            (0, "a b c the", "en", "s"),
+            (1, "a b", "en", "s"),
+            (2, "x y z w", "en", "s"),
+            (3, "a b c the", "en", "s"),
+            (4, "a b q the", "en", "s"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.corpus_pipeline(
+            df, min_tokens=4, min_stop_pct=10, width=2, rates={}
+        ).collect()
+    }
+    assert set(out) == {0, 4}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["n_tokens_kept"] == 4
+    assert out[4]["n_kept"] == 1 and out[4]["n_tokens_kept"] == 2
+    # doc 2's line "x y" never entered the dedup pool (quality ran first)
+    assert 2 not in out and 1 not in out and 3 not in out
+
+
+def test_corpus_pipeline_drops_fully_duplicated_docs(spark):
+    # doc 1 is line-for-line covered by doc 0 -> zero kept lines -> dropped
+    df = _docs(
+        spark,
+        [(0, "the a b c", "en", "s"), (1, "the a", "en", "s")],
+    )
+    rows = corpus.corpus_pipeline(
+        df, min_tokens=2, min_stop_pct=10, width=2, rates={}
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+
+
+def test_corpus_pipeline_sampling_runs_on_deduped_pool(spark):
+    # rate 0 for en drops everything even though docs pass the gates
+    df = _docs(spark, [(0, "the a b c", "en", "s")])
+    assert (
+        corpus.corpus_pipeline(
+            df, min_tokens=2, min_stop_pct=10, width=2, rates={"en": 0.0}
+        ).count()
+        == 0
+    )
+
+
 # ------------------------------------------------------------ plan shape
 
 

@@ -129,6 +129,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("dup_gram_stats", ["partial_count"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # the composed corpus build: quality gate must stay a scan-level
+    # filter (no pre-shuffle), both keeper reductions map-side partial,
+    # all joins equi — the whole pipeline never nested-loops and never
+    # drops to Python
+    ("corpus_pipeline", ["partial_min"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
