@@ -71,19 +71,21 @@ DEFAULT_RATES: dict[str, float] = {"en": 0.25, "zh": 0.75}
 def _doc_lines(docs: DataFrame, width: int) -> DataFrame:
     """Explode documents into (doc_id, idx, line) fixed-width word
     chunks. ``size(split(...))`` >= 1 always (Spark splits '' to ['']),
-    so the sequence upper bound is >= 0 and never runs backwards."""
-    return (
-        _spread(docs)
-        .select("doc_id", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(ws) / {width}.0) as int) - 1),"
-                    f" i -> concat_ws(' ', slice(ws, i * {width} + 1, {width})))"
-                )
-            ).alias("idx", "line"),
-        )
+    so the sequence upper bound is >= 0 and never runs backwards.
+
+    The token array is LET-BOUND via the transform-over-singleton
+    trick (same hazard as textstats.repetition_ratios): a plain staged
+    ``split`` column gets re-inlined into the chunk lambda by
+    CollapseProject and re-splits the document once PER CHUNK —
+    O(words^2) per document, measured 2.5x on the whole operator at
+    sf0.1."""
+    chunks = F.expr(
+        f"""transform(array(split(text, ' ')), ws ->
+              transform(sequence(0, cast(ceil(size(ws) / {width}.0) as int) - 1),
+                        i -> concat_ws(' ', slice(ws, i * {width} + 1, {width}))))[0]"""
+    )
+    return _spread(docs).select(
+        "doc_id", F.posexplode(chunks).alias("idx", "line")
     )
 
 
@@ -187,12 +189,13 @@ def corpus_pipeline(
     hashes the pipeline's actual output content without shipping
     full text through the compare."""
     sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    toks = "filter(split(text, ' '), x -> x <> '')"
+    # let-bound token array (one split per row, not three)
     quality = docs.where(
-        F.expr(f"size({toks}) >= {min_tokens}")
-        & F.expr(
-            f"size(filter({toks}, x -> x IN ({sw}))) * 100"
-            f" >= {min_stop_pct} * size({toks})"
+        F.expr(
+            f"""transform(array(filter(split(text, ' '), x -> x <> '')), toks ->
+                  size(toks) >= {min_tokens}
+                  AND size(filter(toks, x -> x IN ({sw}))) * 100
+                      >= {min_stop_pct} * size(toks))[0]"""
         )
     )
     stats = line_dedup_stats(quality, width).where(F.col("n_kept") > 0)
@@ -224,19 +227,17 @@ def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
     whose GLOBAL occurrence count (across and within documents) is
     >= 2. Documents shorter than n words have no grams and are absent
     from the output (the oracle builds from the gram set too)."""
-    grams = (
-        _spread(docs)
-        .select("doc_id", F.split("text", " ").alias("ws"))
-        .where(F.size("ws") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(ws) - {n}),"
-                    f" i -> substring(md5(concat_ws(' ', slice(ws, i + 1, {n}))), 1, 16))"
-                )
-            ).alias("gk"),
-        )
+    # let-bound token array (see _doc_lines) — an inlined split would
+    # re-tokenize the document once per gram
+    gram_keys = F.expr(
+        f"""transform(array(split(text, ' ')), ws ->
+              CASE WHEN size(ws) < {n} THEN array()
+                   ELSE transform(sequence(0, size(ws) - {n}),
+                        i -> substring(md5(concat_ws(' ', slice(ws, i + 1, {n}))), 1, 16))
+              END)[0]"""
+    )
+    grams = _spread(docs).select(
+        "doc_id", F.explode(gram_keys).alias("gk")
     )
     freq = grams.groupBy("gk").agg(F.count("*").alias("cnt"))
     return (
