@@ -314,7 +314,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentile_check": lambda s, d: pairing.value_percentiles_approx_check(
         _t(s, d, "events")
     ),
-    "approx_distinct_check": lambda s, d: textstats.distinct_token_check(
+    # tokenize-and-pack placement plan (new r5 family): global token
+    # prefix sum as a distributed two-phase scan (block windows + tiny
+    # offset cumsum), partition-invariant by construction; gated in the
+    # window because it is a brand-new family with no gated twin
+    "seq_pack_plan": lambda s, d: corpus.seq_pack_plan(
         _t(s, d, "documents")
     ),
     # r5 rotation: first driver row for the F15 sparse-encode twin
@@ -329,8 +333,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # contamination_check (demoting banded_pairs_bucket_cap); r5 gates
     # ocr_extract_text_spans, sparse_label_encode, knn_cosine_ivf_probe2
     # and banded_pairs_bucket_cap, rotating value_percentiles,
-    # dup_clusters_banded, ivf_recall and contamination_check down here.
+    # dup_clusters_banded, ivf_recall and contamination_check down here;
+    # late r5 gates seq_pack_plan (new family, no gated twin), rotating
+    # approx_distinct_check down (the sketch family stays gated via
+    # approx_percentile_check).
     "ocr_extract_heavy_path": _q_extract_heavy_path,
+    "approx_distinct_check": lambda s, d: textstats.distinct_token_check(
+        _t(s, d, "documents")
+    ),
     # r5 additions living below the line from day one: dup_gram_stats
     # extends the (already heavily gated) dedup family with the Lee et
     # al. 2021 duplicated-n-gram signal; doc_fingerprint and
@@ -1138,6 +1148,23 @@ ORACLES: dict[str, str] = {
         JOIN q USING (doc_id)
         WHERE f.doc_id = k.keeper
           AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
+    """,
+    "seq_pack_plan": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_tokens
+          FROM documents),
+        p AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prefix
+          FROM t)
+        SELECT doc_id, n_tokens,
+               prefix // {corpus.PACK_CAPACITY} AS start_bin,
+               prefix % {corpus.PACK_CAPACITY} AS start_offset
+        FROM p
     """,
     "dup_gram_stats": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -55,7 +55,7 @@ ocr_spark/operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ocr_spark.operators.dedup import _spread
 from ocr_spark.operators.textstats import STOPWORDS as _STOPWORDS
@@ -217,6 +217,80 @@ def corpus_pipeline(
             "n_kept",
             F.size(F.split("kept_text", " ")).alias("n_tokens_kept"),
             "content_fp",
+        )
+    )
+
+
+PACK_CAPACITY = 1024
+PACK_BLOCK = 4096  # doc_ids per prefix-sum block
+
+
+def seq_pack_plan(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """Deterministic sequence-packing plan: stream documents in doc_id
+    order into fixed-``capacity`` token bins (concatenate-and-split
+    packing — documents may straddle a bin boundary), and emit where
+    each document starts: (doc_id, n_tokens, start_bin, start_offset).
+
+    The global token prefix sum is computed as a distributed two-phase
+    scan, NOT a single global window (``Window.orderBy(doc_id)`` with
+    no partition key collapses the whole corpus onto one reducer):
+
+      1. block-local cumsum — window partitioned by
+         ``floor(doc_id / block)``, which is monotone in doc_id, so
+         block-local order + block offsets compose to the global
+         order;
+      2. per-block totals (map-side partial sum) cumsummed on the
+         tiny block relation (#blocks = corpus / block rows; at
+         10^12 documents with the default block this is ~10^8 — if
+         that ever matters, the same construction nests one more
+         level);
+      3. equi join-back of the block offsets (broadcast-sized).
+
+    The output depends only on (doc_id, n_tokens, capacity) — NOT on
+    the physical partitioning — so re-running at any cluster size
+    yields bit-identical packing, which is what makes a resumable
+    100 TB tokenize-and-pack job possible."""
+    d = _spread(docs).select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x <> ''))").alias(
+            "n_tokens"
+        ),
+        (F.floor(F.col("doc_id") / block)).alias("blk"),
+    )
+
+    local_w = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn(
+        "local_prefix", F.sum("n_tokens").over(local_w) - F.col("n_tokens")
+    )
+    offsets_w = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        d.groupBy("blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.sum("blk_total").over(offsets_w) - F.col("blk_total"),
+        )
+        .select("blk", "blk_offset")
+    )
+    prefix = F.col("blk_offset") + F.col("local_prefix")
+    return (
+        local.join(F.broadcast(offsets), "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(prefix / capacity).cast("long").alias("start_bin"),
+            (prefix % capacity).cast("long").alias("start_offset"),
         )
     )
 

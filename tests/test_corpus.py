@@ -205,6 +205,66 @@ def test_corpus_pipeline_sampling_runs_on_deduped_pool(spark):
     )
 
 
+# --------------------------------------------------------------- packing
+
+
+def test_seq_pack_plan_places_docs_contiguously(spark):
+    # token counts 3, 4, 5 at capacity 5: prefixes 0, 3, 7 ->
+    # bins/offsets (0,0), (0,3), (1,2)
+    df = _docs(
+        spark,
+        [(0, "a b c", "en", "s"), (1, "a b c d", "en", "s"),
+         (2, "a b c d e", "en", "s")],
+    )
+    out = {
+        r["doc_id"]: (r["start_bin"], r["start_offset"], r["n_tokens"])
+        for r in corpus.seq_pack_plan(df, capacity=5).collect()
+    }
+    assert out == {0: (0, 0, 3), 1: (0, 3, 4), 2: (1, 2, 5)}
+
+
+def test_seq_pack_plan_crosses_block_boundaries(spark):
+    # block=2: docs 0,1 in block 0; docs 2,3 in block 1 — the offsets
+    # join must carry block 0's total into block 1's prefixes
+    df = _docs(
+        spark,
+        [(i, "w " * (i + 1), "en", "s") for i in range(4)],  # 1,2,3,4 toks
+    )
+    out = {
+        r["doc_id"]: (r["start_bin"], r["start_offset"])
+        for r in corpus.seq_pack_plan(df, capacity=4, block=2).collect()
+    }
+    # prefixes 0,1,3,6 at capacity 4
+    assert out == {0: (0, 0), 1: (0, 1), 2: (0, 3), 3: (1, 2)}
+
+
+def test_seq_pack_plan_is_partition_invariant(spark):
+    df = _docs(
+        spark,
+        [(i, "w " * (i % 7 + 1), "en", "s") for i in range(100)],
+    )
+    a = sorted(map(tuple, corpus.seq_pack_plan(df, capacity=16, block=8).collect()))
+    b = sorted(map(tuple,
+        corpus.seq_pack_plan(df.repartition(13), capacity=16, block=8).collect()))
+    c = sorted(map(tuple,
+        corpus.seq_pack_plan(df.coalesce(1), capacity=16, block=8).collect()))
+    assert a == b == c
+
+
+def test_seq_pack_plan_sparse_doc_ids(spark):
+    # doc_ids with gaps: blocks vary in membership but order is kept
+    df = _docs(
+        spark,
+        [(5, "a b c", "en", "s"), (900, "d e", "en", "s"),
+         (9001, "f", "en", "s")],
+    )
+    out = {
+        r["doc_id"]: (r["start_bin"], r["start_offset"])
+        for r in corpus.seq_pack_plan(df, capacity=4, block=10).collect()
+    }
+    assert out == {5: (0, 0), 900: (0, 3), 9001: (1, 1)}
+
+
 # ------------------------------------------------------------ plan shape
 
 

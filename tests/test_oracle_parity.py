@@ -83,6 +83,9 @@ GATE_WINDOW = 50
 # gated dedup_corpus), ivf_recall (same recall gate runs gated via
 # ivf_kmeans_recall) and contamination_check (gated r4) rotated out —
 # all four keep their local DuckDB parity gate in this file.
+# Late-r5: seq_pack_plan (new packing family) rotated IN, demoting
+# approx_distinct_check (sketch family stays gated via
+# approx_percentile_check; the demoted entry keeps local parity here).
 GATED_REQUIRED = {
     # extraction
     "ocr_extract_spans", "ocr_extract_invariants", "ocr_extract_text_spans",
@@ -94,11 +97,11 @@ GATED_REQUIRED = {
     "bpe_token_count", "rolling_fingerprint", "quality_score",
     "stopword_fraction", "repetition_ratio", "lang_id",
     "char_vocab", "length_histogram",
-    "edit_distance", "arith_verdict_udf", "approx_distinct_check",
+    "edit_distance", "arith_verdict_udf",
     "sparse_label_encode",
-    # corpus construction (new r5 family): line-level exact dedup and
-    # deterministic stratified sampling
-    "line_dedup_stats", "stratified_sample",
+    # corpus construction (new r5 family): line-level exact dedup,
+    # deterministic stratified sampling, and sequence-packing placement
+    "line_dedup_stats", "stratified_sample", "seq_pack_plan",
     # dedup (production-shaped)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dedup_corpus",
