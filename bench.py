@@ -35,6 +35,7 @@ DEFAULT_QUERIES = [
     "dup_gram_stats",
     "stratified_sample",
     "corpus_pipeline",
+    "seq_pack_plan",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

@@ -136,6 +136,16 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("corpus_pipeline", ["partial_min"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # tokenize-and-pack placement: the global token prefix sum must be
+    # the two-phase scan — a block-partitioned window (partial_sum
+    # feeds the per-block totals map-side; the only full-corpus
+    # exchange hashes on blk) plus a broadcast join-back of the tiny
+    # block-offset relation. A sort-merge join-back would re-shuffle
+    # the corpus; a single global orderBy window would sort it on one
+    # reducer — both forbidden.
+    ("seq_pack_plan", ["BroadcastHashJoin", "partial_sum"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
