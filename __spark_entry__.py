@@ -356,6 +356,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(
         _t(s, d, "documents")
     ),
+    # deterministic training-order shuffle: the seq_pack_plan two-phase
+    # scan re-keyed on md5-prefix blocks (gated family twin:
+    # seq_pack_plan in the window)
+    "training_shuffle": lambda s, d: corpus.training_shuffle(
+        _t(s, d, "documents")
+    ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
     "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
@@ -1148,6 +1154,13 @@ ORACLES: dict[str, str] = {
         JOIN q USING (doc_id)
         WHERE f.doc_id = k.keeper
           AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
+    """,
+    "training_shuffle": """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(concat('0', ':', CAST(doc_id AS VARCHAR))),
+                            doc_id) - 1 AS shuffle_pos
+        FROM documents
     """,
     "seq_pack_plan": f"""
         WITH t AS (

@@ -295,6 +295,71 @@ def seq_pack_plan(
     )
 
 
+SHUFFLE_PREFIX_HEX = 2  # 16^2 = 256 hash-prefix blocks
+
+
+def training_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    prefix_hex: int = SHUFFLE_PREFIX_HEX,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every
+    document a ``shuffle_pos`` in [0, N) — a reproducible permutation
+    keyed by (seed, doc_id), the ordering a training run reads the
+    packed corpus in. Changing ``seed`` yields an independent
+    permutation; re-running at any cluster size or input partitioning
+    yields the SAME one (``df.sample``/``rand()`` are neither).
+
+    The naive form — ``row_number() OVER (ORDER BY md5(...))`` — is a
+    global sort whose final rank assignment runs on one reducer. This
+    is the same two-phase scan as ``seq_pack_plan``, with the block
+    key taken from the sort key itself: the first ``prefix_hex`` hex
+    chars of the md5 shuffle key partition the key space into
+    16^prefix_hex lexicographic ranges that are uniform by md5's
+    output distribution (no pre-sampling range partitioner needed,
+    unlike a general sort):
+
+      1. rank within each prefix block (window sort over ~N/256
+         rows — raise ``prefix_hex`` as the corpus grows: 4 hex chars
+         = 65536 blocks keeps blocks ~15M rows at 10^12 docs);
+      2. per-block counts (map-side partial) cumsummed on the tiny
+         block relation;
+      3. broadcast join-back; global pos = block offset + local rank.
+
+    Ties on the full 32-hex key are broken by doc_id, making the
+    permutation total even under md5 collisions."""
+    d = _spread(docs).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+        ).alias("sk"),
+    ).withColumn("blk", F.substring("sk", 1, prefix_hex))
+
+    local_w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    local = d.withColumn("local_rank", F.row_number().over(local_w) - 1)
+    offsets_w = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("blk_n"))
+        .withColumn(
+            "blk_offset", F.sum("blk_n").over(offsets_w) - F.col("blk_n")
+        )
+        .select("blk", "blk_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "blk")
+        .select(
+            "doc_id",
+            (F.col("blk_offset") + F.col("local_rank"))
+            .cast("long")
+            .alias("shuffle_pos"),
+        )
+    )
+
+
 def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
     """Per-document duplicated n-gram exposure: n_grams = word n-grams
     in the doc, n_dup_grams = how many of those positions carry a gram

@@ -251,6 +251,50 @@ def test_seq_pack_plan_is_partition_invariant(spark):
     assert a == b == c
 
 
+def test_training_shuffle_is_a_permutation(spark):
+    df = _docs(spark, [(i, "w", "en", "s") for i in range(137)])
+    pos = [r["shuffle_pos"] for r in corpus.training_shuffle(df).collect()]
+    assert sorted(pos) == list(range(137))
+
+
+def test_training_shuffle_matches_global_sort(spark):
+    # the two-phase block form must equal the naive global
+    # row_number() over (ORDER BY md5 key, doc_id)
+    import hashlib
+
+    ids = list(range(0, 300, 7))
+    df = _docs(spark, [(i, "w", "en", "s") for i in ids])
+    key = lambda i: hashlib.md5(f"9:{i}".encode()).hexdigest()
+    expect = {
+        i: p for p, i in enumerate(sorted(ids, key=lambda i: (key(i), i)))
+    }
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in corpus.training_shuffle(df, seed=9).collect()
+    }
+    assert got == expect
+
+
+def test_training_shuffle_partition_and_prefix_invariant(spark):
+    df = _docs(spark, [(i, "w", "en", "s") for i in range(100)])
+    a = sorted(map(tuple, corpus.training_shuffle(df, seed=3).collect()))
+    b = sorted(map(tuple,
+        corpus.training_shuffle(df.repartition(13), seed=3).collect()))
+    c = sorted(map(tuple,
+        corpus.training_shuffle(df.coalesce(1), seed=3, prefix_hex=1).collect()))
+    assert a == b == c
+
+
+def test_training_shuffle_seed_changes_order(spark):
+    df = _docs(spark, [(i, "w", "en", "s") for i in range(64)])
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus.training_shuffle(df, seed=0).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus.training_shuffle(df, seed=1).collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
+
+
 def test_seq_pack_plan_sparse_doc_ids(spark):
     # doc_ids with gaps: blocks vary in membership but order is kept
     df = _docs(

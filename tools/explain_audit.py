@@ -146,6 +146,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("seq_pack_plan", ["BroadcastHashJoin", "partial_sum"],
      ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # deterministic training shuffle: same contracts as seq_pack_plan
+    # (rank within md5-prefix blocks; per-block counts map-side
+    # partial; broadcast offset join-back — never a global sort's
+    # single-reducer rank, never a corpus re-shuffle)
+    ("training_shuffle", ["BroadcastHashJoin", "partial_count"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
