@@ -362,6 +362,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shuffle": lambda s, d: corpus.training_shuffle(
         _t(s, d, "documents")
     ),
+    # the packing plan exploded into per-(document, bin) executor
+    # segments (gated family twin: seq_pack_plan in the window)
+    "seq_pack_segments": lambda s, d: corpus.seq_pack_segments(
+        _t(s, d, "documents")
+    ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
     "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
@@ -1154,6 +1159,41 @@ ORACLES: dict[str, str] = {
         JOIN q USING (doc_id)
         WHERE f.doc_id = k.keeper
           AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
+    """,
+    "seq_pack_segments": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_tokens
+          FROM documents),
+        p AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prefix
+          FROM t),
+        b AS (
+          SELECT doc_id, n_tokens,
+                 prefix // {corpus.PACK_CAPACITY} AS start_bin,
+                 prefix % {corpus.PACK_CAPACITY} AS start_offset
+          FROM p WHERE n_tokens > 0),
+        s AS (
+          SELECT doc_id, n_tokens, start_bin, start_offset,
+                 unnest(generate_series(0,
+                     CAST((start_offset + n_tokens - 1)
+                         // {corpus.PACK_CAPACITY} AS BIGINT))) AS k
+          FROM b)
+        SELECT doc_id,
+               start_bin + k AS bin,
+               CASE WHEN k = 0 THEN start_offset ELSE 0 END AS pos_in_bin,
+               CASE WHEN k = 0 THEN 0
+                    ELSE {corpus.PACK_CAPACITY} * k - start_offset
+               END AS doc_tok_start,
+               least(n_tokens,
+                     {corpus.PACK_CAPACITY} * (k + 1) - start_offset)
+                 - greatest(0, {corpus.PACK_CAPACITY} * k - start_offset)
+                 AS seg_len
+        FROM s
     """,
     "training_shuffle": """
         SELECT doc_id,

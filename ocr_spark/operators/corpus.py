@@ -295,6 +295,55 @@ def seq_pack_plan(
     )
 
 
+def seq_pack_segments(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """Explode the packing plan into the per-(document, bin) segment
+    manifest a tokenize-and-pack executor actually runs: one row per
+    contiguous slice of a document inside one bin —
+
+      doc_id, bin, pos_in_bin (where the slice starts inside the
+      bin), doc_tok_start (where it starts inside the document),
+      seg_len.
+
+    Every bin's segments tile [0, capacity) exactly (the last bin may
+    be ragged), and a document's segments concatenate back to the
+    document — invariants pinned in tests. The explode is
+    expression-level over the plan (a document touches
+    floor((start_offset + n_tokens - 1)/capacity) + 1 bins); zero-token
+    documents contribute no segments. Downstream, repartitioning by
+    ``bin`` gives each writer task whole bins to assemble — the shuffle
+    carries (doc_id, offsets) manifest rows, never token payloads."""
+    plan = seq_pack_plan(docs, capacity, block)
+    c = float(capacity)
+    segs = F.expr(
+        f"""transform(
+              sequence(0, cast(floor((start_offset + n_tokens - 1) / {c}) as int)),
+              k -> struct(
+                start_bin + k AS bin,
+                CASE WHEN k = 0 THEN start_offset ELSE 0 END AS pos_in_bin,
+                CASE WHEN k = 0 THEN 0L
+                     ELSE cast({capacity} * k - start_offset as long) END
+                    AS doc_tok_start,
+                cast(least(n_tokens, {capacity} * (k + 1) - start_offset)
+                     - greatest(0L, {capacity} * k - start_offset) as long)
+                    AS seg_len))"""
+    )
+    return (
+        plan.where(F.col("n_tokens") > 0)
+        .select("doc_id", F.explode(segs).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.bin").cast("long").alias("bin"),
+            F.col("s.pos_in_bin").cast("long").alias("pos_in_bin"),
+            F.col("s.doc_tok_start").alias("doc_tok_start"),
+            F.col("s.seg_len").alias("seg_len"),
+        )
+    )
+
+
 SHUFFLE_PREFIX_HEX = 2  # 16^2 = 256 hash-prefix blocks
 
 

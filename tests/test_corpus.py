@@ -251,6 +251,69 @@ def test_seq_pack_plan_is_partition_invariant(spark):
     assert a == b == c
 
 
+def test_seq_pack_segments_single_and_straddling_docs(spark):
+    # capacity 5, tokens 3,4,5: doc 1 straddles bins 0/1 (prefix 3),
+    # doc 2 starts at bin 1 offset 2 and straddles into bin 2
+    df = _docs(
+        spark,
+        [(0, "a b c", "en", "s"), (1, "a b c d", "en", "s"),
+         (2, "a b c d e", "en", "s")],
+    )
+    rows = sorted(
+        (r["doc_id"], r["bin"], r["pos_in_bin"], r["doc_tok_start"],
+         r["seg_len"])
+        for r in corpus.seq_pack_segments(df, capacity=5).collect()
+    )
+    assert rows == [
+        (0, 0, 0, 0, 3),
+        (1, 0, 3, 0, 2), (1, 1, 0, 2, 2),
+        (2, 1, 2, 0, 3), (2, 2, 0, 3, 2),
+    ]
+
+
+def test_seq_pack_segments_tile_bins_and_docs(spark):
+    # invariants at an awkward capacity: segments concatenate back to
+    # each document, and every non-final bin is tiled to exactly
+    # capacity with contiguous, non-overlapping slices
+    df = _docs(
+        spark,
+        [(i, "w " * (i % 11 + 1), "en", "s") for i in range(60)],
+    )
+    segs = corpus.seq_pack_segments(df, capacity=7, block=8).collect()
+    by_doc: dict = {}
+    by_bin: dict = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_bin.setdefault(r["bin"], []).append(r)
+    n_tok = {i: i % 11 + 1 for i in range(60)}
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["doc_tok_start"])
+        assert rs[0]["doc_tok_start"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_tok_start"] + a["seg_len"] == b["doc_tok_start"]
+        assert sum(r["seg_len"] for r in rs) == n_tok[d]
+    last_bin = max(by_bin)
+    for b, rs in by_bin.items():
+        rs.sort(key=lambda r: r["pos_in_bin"])
+        assert rs[0]["pos_in_bin"] == 0
+        for a, c in zip(rs, rs[1:]):
+            assert a["pos_in_bin"] + a["seg_len"] == c["pos_in_bin"]
+        total = sum(r["seg_len"] for r in rs)
+        assert total == 7 or (b == last_bin and total <= 7)
+
+
+def test_seq_pack_segments_skips_empty_docs(spark):
+    df = _docs(
+        spark,
+        [(0, "a b", "en", "s"), (1, "", "en", "s"), (2, "c", "en", "s")],
+    )
+    segs = corpus.seq_pack_segments(df, capacity=4).collect()
+    assert sorted({r["doc_id"] for r in segs}) == [0, 2]
+    # the empty doc occupies no space: doc 2 packs right after doc 0
+    out = {r["doc_id"]: (r["bin"], r["pos_in_bin"]) for r in segs}
+    assert out == {0: (0, 0), 2: (0, 2)}
+
+
 def test_training_shuffle_is_a_permutation(spark):
     df = _docs(spark, [(i, "w", "en", "s") for i in range(137)])
     pos = [r["shuffle_pos"] for r in corpus.training_shuffle(df).collect()]

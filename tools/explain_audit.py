@@ -153,6 +153,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("training_shuffle", ["BroadcastHashJoin", "partial_count"],
      ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # segment manifest: the explode rides the seq_pack_plan plan — same
+    # contracts, and the generator must stay expression-level
+    ("seq_pack_segments", ["BroadcastHashJoin", "Generate"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
