@@ -1,9 +1,9 @@
 """Corpus-construction operators for a web-scale training-data build.
 
-Three operators the reference pipeline never had but any 100 TB
-training-mix build needs. All three are expression-level (the scans
-stay inside whole-stage codegen — no Python rows anywhere) and each
-has an exact DuckDB oracle in ``__spark_entry__.oracle_sql()``.
+Operators the reference pipeline never had but any 100 TB
+training-mix build needs. All are expression-level (the scans stay
+inside whole-stage codegen — no Python rows anywhere) and each has an
+exact DuckDB oracle in ``__spark_entry__.oracle_sql()``.
 
 - **Line-level exact dedup** (``line_dedup_stats``): the C4 /
   RefinedWeb boilerplate-removal step — drop every repeated line,
@@ -48,8 +48,16 @@ quality gate into the single DataFrame plan a production corpus build
 submits: quality filter -> line dedup -> document dedup on the cleaned
 text -> stratified sample.
 
-No reference counterpart (cited inventory: SURVEY.md §2 "beyond the
-reference" table); these extend the dedup family in
+The packing family finishes the build: ``seq_pack_plan`` assigns
+every document its (bin, offset) under concatenate-and-split packing
+via a distributed two-phase token prefix scan, ``seq_pack_segments``
+explodes that into the per-(document, bin) slice manifest an executor
+runs, and ``training_shuffle`` issues the reproducible global read
+order — all partition-invariant, so a resumed or re-scaled job
+produces a bit-identical layout.
+
+No reference counterpart (inventory: docs/COVERAGE.md "Round-5
+additions"); these extend the dedup family in
 ocr_spark/operators/dedup.py.
 """
 
