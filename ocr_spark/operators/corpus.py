@@ -291,14 +291,18 @@ def seq_pack_plan(
         )
         .select("blk", "blk_offset")
     )
-    prefix = F.col("blk_offset") + F.col("local_prefix")
     return (
         local.join(F.broadcast(offsets), "blk")
+        .withColumn("prefix", F.col("blk_offset") + F.col("local_prefix"))
+        # integer `div`, not floor(double /): Spark's `/` on bigints
+        # goes through float64, exact only below 2^53 total tokens —
+        # `div` keeps the bin arithmetic exact at any corpus size,
+        # matching the oracle's integer `//`
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(prefix / capacity).cast("long").alias("start_bin"),
-            (prefix % capacity).cast("long").alias("start_offset"),
+            F.expr(f"prefix div {capacity}").cast("long").alias("start_bin"),
+            (F.col("prefix") % capacity).cast("long").alias("start_offset"),
         )
     )
 
