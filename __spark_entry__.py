@@ -367,6 +367,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_pack_segments": lambda s, d: corpus.seq_pack_segments(
         _t(s, d, "documents")
     ),
+    # the flagship composition: corpus build -> packing layout in ONE
+    # plan (both halves individually gated in the window)
+    "corpus_pack_plan": lambda s, d: corpus.corpus_pack_plan(
+        _t(s, d, "documents")
+    ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
     "dup_clusters_banded": lambda s, d: dedup.dup_clusters(
@@ -726,6 +731,55 @@ _DK_KEEP_CTE = """
                  CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
                       THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+"""
+
+# the end-to-end corpus-build replay, shared by the corpus_pipeline
+# oracle and the corpus_pack_plan composition (which nests it as a
+# derived table)
+_CORPUS_PIPELINE_SQL = f"""
+        WITH q AS (
+          SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+          WHERE len(toks) >= {corpus.MIN_TOKENS}
+            AND len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 100
+                >= {corpus.MIN_STOP_PCT} * len(toks)
+        ),
+        w AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+              FROM documents d JOIN q USING (doc_id)),
+        lines AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(list_slice(ws,
+                     i * {corpus.LINE_WORDS} + 1,
+                     i * {corpus.LINE_WORDS} + {corpus.LINE_WORDS}), ' ') AS line
+          FROM w, unnest(range(CAST(ceil(len(ws) / {corpus.LINE_WORDS}.0)
+                                    AS BIGINT))) AS t(i)
+        ),
+        keep AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                       ORDER BY doc_id, idx) AS rn
+          FROM lines
+        ),
+        stats AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 count(*) FILTER (WHERE rn = 1) AS n_kept,
+                 string_agg(line, ' ' ORDER BY idx)
+                     FILTER (WHERE rn = 1) AS kept_text
+          FROM keep GROUP BY doc_id
+          HAVING count(*) FILTER (WHERE rn = 1) > 0
+        ),
+        fp AS (SELECT *, md5(kept_text) AS content_fp FROM stats),
+        keepers AS (SELECT content_fp, min(doc_id) AS keeper
+                    FROM fp GROUP BY content_fp)
+        SELECT f.doc_id, q.lang, q.source, f.n_lines, f.n_kept,
+               len(string_split(f.kept_text, ' ')) AS n_tokens_kept,
+               f.content_fp
+        FROM fp f
+        JOIN keepers k USING (content_fp)
+        JOIN q USING (doc_id)
+        WHERE f.doc_id = k.keeper
+          AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
 """
 
 ORACLES: dict[str, str] = {
@@ -1115,50 +1169,21 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source FROM documents
         WHERE CASE lang {_SAMPLE_CASE} ELSE TRUE END
     """,
-    "corpus_pipeline": f"""
-        WITH q AS (
-          SELECT doc_id, lang, source FROM (
-            SELECT doc_id, lang, source,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
-            FROM documents)
-          WHERE len(toks) >= {corpus.MIN_TOKENS}
-            AND len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 100
-                >= {corpus.MIN_STOP_PCT} * len(toks)
-        ),
-        w AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
-              FROM documents d JOIN q USING (doc_id)),
-        lines AS (
-          SELECT doc_id, i AS idx,
-                 array_to_string(list_slice(ws,
-                     i * {corpus.LINE_WORDS} + 1,
-                     i * {corpus.LINE_WORDS} + {corpus.LINE_WORDS}), ' ') AS line
-          FROM w, unnest(range(CAST(ceil(len(ws) / {corpus.LINE_WORDS}.0)
-                                    AS BIGINT))) AS t(i)
-        ),
-        keep AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY line
-                                       ORDER BY doc_id, idx) AS rn
-          FROM lines
-        ),
-        stats AS (
-          SELECT doc_id, count(*) AS n_lines,
-                 count(*) FILTER (WHERE rn = 1) AS n_kept,
-                 string_agg(line, ' ' ORDER BY idx)
-                     FILTER (WHERE rn = 1) AS kept_text
-          FROM keep GROUP BY doc_id
-          HAVING count(*) FILTER (WHERE rn = 1) > 0
-        ),
-        fp AS (SELECT *, md5(kept_text) AS content_fp FROM stats),
-        keepers AS (SELECT content_fp, min(doc_id) AS keeper
-                    FROM fp GROUP BY content_fp)
-        SELECT f.doc_id, q.lang, q.source, f.n_lines, f.n_kept,
-               len(string_split(f.kept_text, ' ')) AS n_tokens_kept,
-               f.content_fp
-        FROM fp f
-        JOIN keepers k USING (content_fp)
-        JOIN q USING (doc_id)
-        WHERE f.doc_id = k.keeper
-          AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
+    "corpus_pipeline": _CORPUS_PIPELINE_SQL,
+    "corpus_pack_plan": f"""
+        WITH pool AS (
+          SELECT doc_id, n_tokens_kept AS n_tokens
+          FROM ({_CORPUS_PIPELINE_SQL})),
+        pp AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prefix
+          FROM pool)
+        SELECT doc_id, n_tokens,
+               prefix // {corpus.PACK_CAPACITY} AS start_bin,
+               prefix % {corpus.PACK_CAPACITY} AS start_offset
+        FROM pp
     """,
     "seq_pack_segments": f"""
         WITH t AS (

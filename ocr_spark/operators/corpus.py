@@ -262,13 +262,22 @@ def seq_pack_plan(
     the physical partitioning — so re-running at any cluster size
     yields bit-identical packing, which is what makes a resumable
     100 TB tokenize-and-pack job possible."""
-    d = _spread(docs).select(
+    counts = _spread(docs).select(
         "doc_id",
         F.expr("size(filter(split(text, ' '), x -> x <> ''))").alias(
             "n_tokens"
         ),
-        (F.floor(F.col("doc_id") / block)).alias("blk"),
     )
+    return _pack_from_counts(counts, capacity, block)
+
+
+def _pack_from_counts(
+    counts: DataFrame, capacity: int, block: int
+) -> DataFrame:
+    """The two-phase prefix scan over a (doc_id, n_tokens) relation —
+    shared by seq_pack_plan (counts from the raw text) and
+    corpus_pack_plan (counts from the cleaned pipeline output)."""
+    d = counts.withColumn("blk", F.floor(F.col("doc_id") / block))
 
     local_w = (
         Window.partitionBy("blk")
@@ -305,6 +314,25 @@ def seq_pack_plan(
             (F.col("prefix") % capacity).cast("long").alias("start_offset"),
         )
     )
+
+
+def corpus_pack_plan(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    block: int = PACK_BLOCK,
+    **pipeline_kwargs,
+) -> DataFrame:
+    """The full corpus build chained into its packing layout as ONE
+    DataFrame plan: Gopher quality gate -> line dedup -> document
+    dedup -> stratified sample (``corpus_pipeline``) -> deterministic
+    sequence packing over the SURVIVORS' cleaned token counts
+    (``_pack_from_counts``). This is the job a training-data run
+    submits end-to-end; every stage is individually oracle-gated and
+    the composition has its own DuckDB replay."""
+    pool = corpus_pipeline(docs, **pipeline_kwargs).select(
+        "doc_id", F.col("n_tokens_kept").alias("n_tokens")
+    )
+    return _pack_from_counts(pool, capacity, block)
 
 
 def seq_pack_segments(

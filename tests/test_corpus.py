@@ -314,6 +314,32 @@ def test_seq_pack_segments_skips_empty_docs(spark):
     assert out == {0: (0, 0), 2: (0, 2)}
 
 
+def test_corpus_pack_plan_packs_exactly_the_pipeline_survivors(spark):
+    kw = dict(min_tokens=4, min_stop_pct=10, width=2, rates={})
+    df = _docs(
+        spark,
+        [(0, "a b c the", "en", "s"), (1, "a b", "en", "s"),
+         (2, "x y z w", "en", "s"), (3, "a b c the", "en", "s"),
+         (4, "a b q the", "en", "s"),
+         (5, "p q r s the of and t u v", "en", "s")],
+    )
+    pool = {
+        r["doc_id"]: r["n_tokens_kept"]
+        for r in corpus.corpus_pipeline(df, **kw).collect()
+    }
+    assert len(pool) >= 3  # the composition has something to pack
+    packed = corpus.corpus_pack_plan(df, capacity=16, **kw).collect()
+    assert {r["doc_id"] for r in packed} == set(pool)
+    assert {r["doc_id"]: r["n_tokens"] for r in packed} == pool
+    # bins assigned by doc_id order over the survivors' prefix sum
+    prefix = 0
+    for did in sorted(pool):
+        row = next(r for r in packed if r["doc_id"] == did)
+        assert (row["start_bin"], row["start_offset"]) == (
+            prefix // 16, prefix % 16)
+        prefix += pool[did]
+
+
 def test_training_shuffle_is_a_permutation(spark):
     df = _docs(spark, [(i, "w", "en", "s") for i in range(137)])
     pos = [r["shuffle_pos"] for r in corpus.training_shuffle(df).collect()]

@@ -158,6 +158,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("seq_pack_segments", ["BroadcastHashJoin", "Generate"],
      ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # the composed build->pack flagship: pipeline keeper reductions
+    # stay map-side partial, the pack offsets join-back broadcasts;
+    # the pipeline's own equi joins may legitimately sort-merge, so
+    # only the hard contracts are pinned
+    ("corpus_pack_plan", ["BroadcastHashJoin", "partial_min"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
