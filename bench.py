@@ -36,6 +36,7 @@ DEFAULT_QUERIES = [
     "stratified_sample",
     "corpus_pipeline",
     "seq_pack_plan",
+    "corpus_pack_plan",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",
