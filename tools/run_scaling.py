@@ -585,6 +585,33 @@ same binary reads the moment the job is long enough to pay its fixed
 costs once, which is the regime the 10^12-document target runs in.
 {exec_md}"""
 
+    # replacement-instance addendum (BENCH/amortization_late.json,
+    # NOTES_r5.md §10-11): the same protocol re-run after the sandbox
+    # VM was swapped mid-round for a slower host — kept as its own
+    # section so cross-instance walls are never compared directly
+    late_path = os.path.join(REPO, "BENCH", "amortization_late.json")
+    if amort_md and os.path.exists(late_path):
+        with open(late_path) as f:
+            lt = json.load(f)
+        lt_ceil = lt.get("kernel_ceiling_agg_crops_per_s", {})
+        amort_md += f"""
+### Replacement-instance window ({lt['n_docs']} docs — supplementary)
+
+The sandbox VM was replaced mid-round by an instance ~3x slower per
+core that stops delivering cores past ~16 concurrent heavy processes
+(no-Spark spawn-pinned ceiling probe: {lt_ceil.get('8')} ->
+{lt_ceil.get('32')} aggregate crops/s from 8 to 32 procs =
+a {lt.get('kernel_ceiling_8_to_32')} hardware ceiling for 8 -> 32,
+typical sweeps ~0.57). Same protocol at a kernel-scaled corpus:
+raw 4 -> 16 = **{lt['scaling_efficiency_4_to_16']}** — the rule met
+on the parallelism this host actually provides — while 8 -> 32 reads
+{lt['scaling_efficiency_8_to_32']} because the 32-level
+oversubscribes the ~16 delivered cores (instruments and the
+16/24/32-worker extraction knee probe: NOTES_r5.md §10-11). The
+tables above remain the evidence of record from the original
+instance.
+"""
+
     # literal-launch addendum (tools/run_submit_scaling.py): the same
     # executor pairs, but each run is a real `spark-submit --py-files
     # dist/ocr_spark.zip` process launched from a scratch directory
