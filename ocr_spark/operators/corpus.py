@@ -237,6 +237,7 @@ def seq_pack_plan(
     docs: DataFrame,
     capacity: int = PACK_CAPACITY,
     block: int = PACK_BLOCK,
+    base_tokens: int = 0,
 ) -> DataFrame:
     """Deterministic sequence-packing plan: stream documents in doc_id
     order into fixed-``capacity`` token bins (concatenate-and-split
@@ -268,15 +269,25 @@ def seq_pack_plan(
             "n_tokens"
         ),
     )
-    return _pack_from_counts(counts, capacity, block)
+    return _pack_from_counts(counts, capacity, block, base_tokens)
 
 
 def _pack_from_counts(
-    counts: DataFrame, capacity: int, block: int
+    counts: DataFrame, capacity: int, block: int, base_tokens: int = 0
 ) -> DataFrame:
     """The two-phase prefix scan over a (doc_id, n_tokens) relation —
     shared by seq_pack_plan (counts from the raw text) and
-    corpus_pack_plan (counts from the cleaned pipeline output)."""
+    corpus_pack_plan (counts from the cleaned pipeline output).
+
+    ``base_tokens`` makes the resumability claim operational for an
+    append-only corpus: pass the previous run's total token count and
+    the new batch packs exactly where a from-scratch run over the
+    union would have placed it — packing whole corpus = packing batch
+    A, then batch B at base_tokens = sum(A.n_tokens). The incremental
+    job touches only the NEW documents (one scan of the appended
+    partition plus one scalar carried from the snapshot), which is
+    what makes daily top-ups of a 100 TB packed corpus O(batch), not
+    O(corpus)."""
     d = counts.withColumn("blk", F.floor(F.col("doc_id") / block))
 
     local_w = (
@@ -302,7 +313,12 @@ def _pack_from_counts(
     )
     return (
         local.join(F.broadcast(offsets), "blk")
-        .withColumn("prefix", F.col("blk_offset") + F.col("local_prefix"))
+        .withColumn(
+            "prefix",
+            F.lit(base_tokens).cast("long")
+            + F.col("blk_offset")
+            + F.col("local_prefix"),
+        )
         # integer `div`, not floor(double /): Spark's `/` on bigints
         # goes through float64, exact only below 2^53 total tokens —
         # `div` keeps the bin arithmetic exact at any corpus size,
@@ -320,6 +336,7 @@ def corpus_pack_plan(
     docs: DataFrame,
     capacity: int = PACK_CAPACITY,
     block: int = PACK_BLOCK,
+    base_tokens: int = 0,
     **pipeline_kwargs,
 ) -> DataFrame:
     """The full corpus build chained into its packing layout as ONE
@@ -332,13 +349,14 @@ def corpus_pack_plan(
     pool = corpus_pipeline(docs, **pipeline_kwargs).select(
         "doc_id", F.col("n_tokens_kept").alias("n_tokens")
     )
-    return _pack_from_counts(pool, capacity, block)
+    return _pack_from_counts(pool, capacity, block, base_tokens)
 
 
 def seq_pack_segments(
     docs: DataFrame,
     capacity: int = PACK_CAPACITY,
     block: int = PACK_BLOCK,
+    base_tokens: int = 0,
 ) -> DataFrame:
     """Explode the packing plan into the per-(document, bin) segment
     manifest a tokenize-and-pack executor actually runs: one row per
@@ -356,7 +374,7 @@ def seq_pack_segments(
     documents contribute no segments. Downstream, repartitioning by
     ``bin`` gives each writer task whole bins to assemble — the shuffle
     carries (doc_id, offsets) manifest rows, never token payloads."""
-    plan = seq_pack_plan(docs, capacity, block)
+    plan = seq_pack_plan(docs, capacity, block, base_tokens)
     c = float(capacity)
     segs = F.expr(
         f"""transform(

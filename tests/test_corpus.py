@@ -314,6 +314,31 @@ def test_seq_pack_segments_skips_empty_docs(spark):
     assert out == {0: (0, 0), 2: (0, 2)}
 
 
+def test_seq_pack_plan_base_tokens_resumes_append_only(spark):
+    # packing batch B at base_tokens = sum(A) must equal the rows a
+    # from-scratch run over A union B assigns to B's documents
+    rows = [(i, "w " * (i % 9 + 1), "en", "s") for i in range(40)]
+    a, b = rows[:25], rows[25:]
+    full = {
+        r["doc_id"]: (r["start_bin"], r["start_offset"])
+        for r in corpus.seq_pack_plan(
+            _docs(spark, rows), capacity=16, block=8).collect()
+    }
+    batch_a = corpus.seq_pack_plan(
+        _docs(spark, a), capacity=16, block=8).collect()
+    base = sum(r["n_tokens"] for r in batch_a)
+    resumed = {
+        r["doc_id"]: (r["start_bin"], r["start_offset"])
+        for r in corpus.seq_pack_plan(
+            _docs(spark, b), capacity=16, block=8, base_tokens=base
+        ).collect()
+    }
+    assert resumed == {d: full[d] for d in resumed}
+    assert {r["doc_id"]: (r["start_bin"], r["start_offset"])
+            for r in batch_a} == {d: full[d] for d, _ in
+                                  ((r[0], None) for r in a)}
+
+
 def test_corpus_pack_plan_packs_exactly_the_pipeline_survivors(spark):
     kw = dict(min_tokens=4, min_stop_pct=10, width=2, rates={})
     df = _docs(
