@@ -151,6 +151,38 @@ def _boilerplate_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """Inject deterministic PII into the (PII-free) synthetic corpus so
+    the scrub operator has real matches to find: an email on every 2nd
+    doc, an IPv4 on every 3rd, a dashed international phone on every
+    5th — all derived from doc_id, so the DuckDB oracle replays the
+    same injection character-for-character."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.concat(
+        F.lit(" user"), s(d), F.lit("@ex"), s(d % 7), F.lit(".com")
+    )
+    ip = F.concat(
+        F.lit(" 10."), s(d % 200), F.lit("."), s((d * 7) % 250),
+        F.lit("."), s(d % 100),
+    )
+    phone = F.concat(
+        F.lit(" +86-138-"), F.lpad(s(d % 10000), 4, "0")
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, email).otherwise(F.lit("")),
+        F.when(d % 3 == 0, ip).otherwise(F.lit("")),
+        F.when(d % 5 == 0, phone).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
 _BUCKET_STAGING_DIRS: set[str] = set()
 
 
@@ -371,6 +403,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plan (both halves individually gated in the window)
     "corpus_pack_plan": lambda s, d: corpus.corpus_pack_plan(
         _t(s, d, "documents")
+    ),
+    # CCNet/Dolma-style PII count-and-mask pass (map-only, zero
+    # shuffles) over a deterministic PII injection — the synthetic
+    # corpus carries none, so the wrapper plants doc_id-derived
+    # emails/IPs/phones that the oracle replays verbatim
+    "pii_scrub": lambda s, d: corpus.pii_scrub(
+        _pii_docs(_t(s, d, "documents"))
     ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
@@ -1258,6 +1297,47 @@ ORACLES: dict[str, str] = {
         SELECT g.doc_id AS doc_id, count(*) AS n_grams,
                count(*) FILTER (WHERE f.cnt >= 2) AS n_dup_grams
         FROM grams g JOIN freq f USING (gk) GROUP BY g.doc_id
+    """,
+    # sequential count-then-mask replay of corpus.pii_scrub over the
+    # same doc_id-derived injection _pii_docs plants on the Spark side;
+    # the patterns live in corpus.PII_PATTERNS (the Java-regex/RE2
+    # common subset, so both engines match identically)
+    "pii_scrub": f"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 2 = 0 THEN
+                        ' user' || doc_id || '@ex' || (doc_id % 7) || '.com'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                        ' 10.' || (doc_id % 200) || '.'
+                        || ((doc_id * 7) % 250) || '.' || (doc_id % 100)
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                        ' +86-138-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END AS text
+          FROM documents),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '{corpus.PII_PATTERNS[0][1]}'))
+                          AS n_email,
+                      regexp_replace(text, '{corpus.PII_PATTERNS[0][1]}',
+                                     '{corpus.PII_PATTERNS[0][2]}', 'g') AS t
+               FROM pii),
+        s2 AS (SELECT doc_id, n_email,
+                      len(regexp_extract_all(t, '{corpus.PII_PATTERNS[1][1]}'))
+                          AS n_ipv4,
+                      regexp_replace(t, '{corpus.PII_PATTERNS[1][1]}',
+                                     '{corpus.PII_PATTERNS[1][2]}', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ipv4,
+                      len(regexp_extract_all(t, '{corpus.PII_PATTERNS[2][1]}'))
+                          AS n_phone,
+                      regexp_replace(t, '{corpus.PII_PATTERNS[2][1]}',
+                                     '{corpus.PII_PATTERNS[2][2]}', 'g') AS t
+               FROM s2)
+        SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS scrubbed_fp
+        FROM s3
     """,
     "contamination_check": """
         WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -48,6 +48,13 @@ quality gate into the single DataFrame plan a production corpus build
 submits: quality filter -> line dedup -> document dedup on the cleaned
 text -> stratified sample.
 
+- **PII scrubbing** (``pii_scrub``): the CCNet/Dolma-style safety
+  pass — count and mask emails, IPv4 addresses and phone numbers with
+  a fixed, ordered regex table. Map-only (zero shuffles); the
+  patterns are restricted to the regex subset on which Java regex
+  (Spark) and RE2 (DuckDB) agree, so the oracle replays the same
+  sequential count-then-mask chain exactly.
+
 The packing family finishes the build: ``seq_pack_plan`` assigns
 every document its (bin, offset) under concatenate-and-split packing
 via a distributed two-phase token prefix scan, ``seq_pack_segments``
@@ -465,6 +472,47 @@ def training_shuffle(
             .alias("shuffle_pos"),
         )
     )
+
+
+# The PII table is ORDERED: each pattern counts and masks over the
+# text AFTER the previous patterns' replacements (an email's host can
+# contain an IPv4-shaped substring; masking the email first keeps the
+# two counters disjoint). Patterns stay inside the common subset of
+# Java regex (Spark executors) and RE2 (the DuckDB oracle): character
+# classes, bounded repetition and ASCII \b only — no backreferences,
+# no lookaround — so both engines produce identical matches.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{4,7}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Count and mask PII occurrences per document. Returns one row per
+    document: (doc_id, n_email, n_ipv4, n_phone, scrubbed_fp) where
+    scrubbed_fp = md5 of the fully-masked text — the gate hashes the
+    scrub's actual output content without shipping full text through
+    the compare (same trick as ``corpus_pipeline``'s content_fp).
+
+    Map-only over the scan: no Exchange in the plan at all, so at
+    100 TB this runs at scan speed with zero cross-executor traffic.
+    The counts are defined SEQUENTIALLY (pattern k counts on the text
+    with patterns 1..k-1 already masked); the recomputation that
+    implies inside one projection is a few extra regex passes per row
+    — cheap next to the scan — and buys an unambiguous cross-engine
+    contract the DuckDB oracle replays verbatim."""
+    cur = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    # deliberately NO _spread: the contract is zero Exchange (pinned by
+    # the plan audit) — at corpus scale the scan's input splits supply
+    # the parallelism, and a repartition would shuffle full text
+    return docs.select("doc_id", *counts, F.md5(cur).alias("scrubbed_fp"))
 
 
 def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:

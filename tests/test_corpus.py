@@ -113,6 +113,49 @@ def test_stratified_sample_rate_is_approximately_honored(spark):
     assert 0.20 * 2000 < n < 0.30 * 2000
 
 
+# ------------------------------------------------------------------ pii
+
+
+def test_pii_scrub_counts_and_masks(spark):
+    import hashlib
+
+    df = _docs(
+        spark,
+        [
+            (0, "contact user42@ex3.com or admin@sub.domain.org now", "en", "s"),
+            (1, "server 10.1.2.34 and 192.168.0.1, call +86-138-0042 ok", "en", "s"),
+            (2, "no pii here at all", "en", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 2, 1)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[0]["scrubbed_fp"] == hashlib.md5(
+        b"contact <EMAIL> or <EMAIL> now"
+    ).hexdigest()
+    assert out[1]["scrubbed_fp"] == hashlib.md5(
+        b"server <IP> and <IP>, call <PHONE> ok"
+    ).hexdigest()
+    assert out[2]["scrubbed_fp"] == hashlib.md5(
+        b"no pii here at all"
+    ).hexdigest()
+
+
+def test_pii_scrub_counts_are_sequential(spark):
+    # an IPv4-shaped host inside an email is consumed by the email mask
+    # and must NOT also count as an IP; a bare dotted quad after it must
+    df = _docs(spark, [(0, "x -1.2.3.4@x.com 123.45.6.7", "en", "s")])
+    row = corpus.pii_scrub(df).collect()[0]
+    assert (row["n_email"], row["n_ipv4"], row["n_phone"]) == (1, 1, 0)
+
+
+def test_pii_scrub_plan_is_shuffle_free(spark):
+    df = _docs(spark, [(i, "t", "en", "s") for i in range(10)])
+    plan = corpus.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 # ------------------------------------------------------------- dup grams
 
 

@@ -165,6 +165,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("corpus_pack_plan", ["BroadcastHashJoin", "partial_min"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # PII count-and-mask scrub: a pure projection over the scan — the
+    # plan must carry no exchange and never drop to Python (the regex
+    # chain is JVM-side regexp_count/regexp_replace)
+    ("pii_scrub", ["codegen id :"],
+     ["Exchange", "BatchEvalPython", "ArrowEvalPython"]),
     # bucketed layout (plans/bucketed.py): both scans carry the bucket
     # partitioning, so the orderkey join AND the key-grouped aggregate
     # run with ZERO exchanges — the write paid the shuffle once. The
