@@ -39,6 +39,7 @@ from ocr_spark.operators import (
     pairing,
     similarity,
     textstats,
+    tokenizer,
     tpch,
 )
 from ocr_spark.plans.extract import corpus_df, extract, extract_invariants
@@ -334,8 +335,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "region"), _t(s, d, "nation"), _t(s, d, "customer"),
         _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem"),
     ),
-    "order_priority_counts": lambda s, d: tpch.order_priority_counts(
-        _t(s, d, "orders"), _t(s, d, "lineitem")
+    # late-r5 rotation: first driver row for the new tokenizer family —
+    # round 1 of distributed BPE training: word-frequency-weighted
+    # adjacent character-pair statistics with a deterministic top-k
+    # listing; the iterative trainer (tokenizer.bpe_train_merges) and
+    # segmenter (bpe_apply_merges) are library surface gated by
+    # tests/test_tokenizer.py against a sequential reference.
+    # order_priority_counts rotated below the line to make room (the
+    # TPC-H family keeps four gated rows).
+    "bpe_pair_counts": lambda s, d: tokenizer.bpe_pair_counts(
+        _t(s, d, "documents")
     ),
     "bucketed_order_revenue": _q_bucketed_order_revenue,
     "moving_avg": lambda s, d: pairing.moving_avg(_t(s, d, "events")),
@@ -410,6 +419,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # emails/IPs/phones that the oracle replays verbatim
     "pii_scrub": lambda s, d: corpus.pii_scrub(
         _pii_docs(_t(s, d, "documents"))
+    ),
+    # late-r5 rotation: demoted for bpe_pair_counts (new family); the
+    # TPC-H family stays gated via pricing_summary, top_revenue_orders,
+    # event_rollup and local_supplier_volume, and this entry keeps its
+    # local DuckDB gate in tests/test_oracle_parity.py
+    "order_priority_counts": lambda s, d: tpch.order_priority_counts(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
     ),
     "doc_fingerprint": lambda s, d: textstats.fingerprints(_t(s, d, "documents")),
     "token_count": lambda s, d: textstats.token_counts(_t(s, d, "documents")),
@@ -1297,6 +1313,24 @@ ORACLES: dict[str, str] = {
         SELECT g.doc_id AS doc_id, count(*) AS n_grams,
                count(*) FILTER (WHERE f.cnt >= 2) AS n_dup_grams
         FROM grams g JOIN freq f USING (gk) GROUP BY g.doc_id
+    """,
+    # word-frequency-weighted adjacent character-pair statistics —
+    # round 1 of BPE training; ORDER BY cnt DESC, sym_a, sym_b is a
+    # total order, so the LIMIT is deterministic on both engines
+    "bpe_pair_counts": f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS word
+          FROM documents),
+        words AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),
+        pairs AS (
+          SELECT substr(word, i, 1) AS sym_a,
+                 substr(word, i + 1, 1) AS sym_b, wc
+          FROM words, unnest(range(1, len(word))) AS t(i)
+          WHERE len(word) >= 2)
+        SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS cnt
+        FROM pairs GROUP BY sym_a, sym_b
+        ORDER BY cnt DESC, sym_a, sym_b LIMIT {tokenizer.PAIR_TOP_K}
     """,
     # sequential count-then-mask replay of corpus.pii_scrub over the
     # same doc_id-derived injection _pii_docs plants on the Spark side;

@@ -37,6 +37,7 @@ DEFAULT_QUERIES = [
     "corpus_pipeline",
     "seq_pack_plan",
     "corpus_pack_plan",
+    "bpe_pair_counts",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

@@ -1,0 +1,187 @@
+"""Distributed BPE tokenizer training over the corpus.
+
+The tokenizer-training step of a training-data build: learn a
+byte-pair-encoding merge table from corpus statistics, then segment
+documents with it. No reference counterpart (the reference's decode
+alphabet is a fixed char table, ocr_spark/config.py); this extends the
+corpus-construction family in ocr_spark/operators/corpus.py.
+
+Scale shape (the 100 TB read):
+
+- ``word_counts`` is the ONLY corpus-scale pass: one groupBy whose
+  map-side partial aggregation collapses each executor's text to its
+  local vocabulary before the exchange — the shuffle carries distinct
+  words, never documents. Every training round after that runs over
+  the VOCAB relation (|vocab| ~ 10^8 at web scale, vs 10^12 docs),
+  optionally pruned by ``min_count`` (rare words contribute ~nothing
+  to pair statistics — the standard trainer economy).
+- each round of ``bpe_train_merges`` is ONE aggregate over the symbol
+  relation plus a 1-row argmax collect (a scalar reduce, same shape as
+  similarity.kmeans_codebook's centroid step). The winning pair is
+  applied with a pure expression-level left fold — no Python rows —
+  and the relation is ``localCheckpoint``-ed per round with the
+  superseded round's blocks released (the dedup.dup_clusters
+  contract), so lineage stays one fold deep and storage stays flat
+  for any number of rounds.
+- ties on the pair count are broken lexicographically (sym_a, sym_b)
+  — OUR deterministic contract (reference BPE implementations
+  tie-break on dict insertion order, which is not reproducible across
+  partitionings); this makes the learned merge table bit-identical at
+  any cluster size.
+- ``bpe_apply_merges`` chains one fold per merge inside a single
+  projection — right for the tens-of-merges regime this repo tests;
+  a production 50k-merge table should instead broadcast the ranked
+  merge table into an Arrow-batched kernel (the functions/udfs.py
+  pattern), because a 50k-deep expression tree stresses the analyzer,
+  not the executors.
+
+The greedy left fold applies one merge (a, b) exactly like the
+sequential BPE reference: scanning left to right, a freshly-merged
+symbol "ab" can itself be the left element of a later merge but never
+re-matches ``a`` (concat(a, b) = a only if b = '', which cannot occur:
+symbols come from substring(word, i, 1)), so leftmost-non-overlapping
+semantics fall out of the fold with no position bookkeeping —
+"aaa" + merge (a, a) -> ["aa", "a"].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.plans.session import release_local_checkpoint
+
+PAIR_TOP_K = 50
+
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted literal for an arbitrary symbol."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(word, wc) over the whole corpus — map-side partial count, the
+    exchange carries distinct words only."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = PAIR_TOP_K) -> DataFrame:
+    """Top-k adjacent character-pair counts weighted by word frequency
+    — round 1 of BPE training and the oracled face of the family.
+    Deterministic listing: ORDER BY cnt DESC, sym_a, sym_b is a total
+    order, so LIMIT k is reproducible on both engines."""
+    w = word_counts(docs)
+    pairs = w.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> "
+                "struct(substring(word, i, 1) AS sym_a, "
+                "substring(word, i + 1, 1) AS sym_b))"
+            )
+        ).alias("p"),
+        "wc",
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b")
+        )
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.desc("cnt"), "sym_a", "sym_b")
+        .limit(k)
+    )
+
+
+def _fold_merge_sql(inner: str, a: str, b: str, lvl: int) -> str:
+    """Wrap a symbol-array expression in the greedy left fold that
+    applies merge (a, b). Lambda variables carry a per-level suffix so
+    chained folds never shadow each other."""
+    qa, qb, qm = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    acc, s = f"acc{lvl}", f"s{lvl}"
+    return (
+        f"aggregate({inner}, cast(array() as array<string>), "
+        f"({acc}, {s}) -> CASE WHEN size({acc}) > 0 "
+        f"AND element_at({acc}, -1) = {qa} AND {s} = {qb} "
+        f"THEN concat(slice({acc}, 1, size({acc}) - 1), array({qm})) "
+        f"ELSE concat({acc}, array({s})) END)"
+    )
+
+
+_CHARS_OF_WORD = "transform(sequence(1, length({w})), i -> substring({w}, i, 1))"
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 16, min_count: int = 1
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    table in rank order. Each round: one pair-count aggregate over the
+    vocab-sized symbol relation, a 1-row argmax collect, and an
+    expression-level fold applying the winner; per-round
+    localCheckpoint with superseded-block release keeps lineage and
+    storage flat. Stops early when no pair remains (every word fully
+    merged). ``min_count`` prunes rare words from the statistics (the
+    standard trainer economy at web scale)."""
+    w = word_counts(docs)
+    if min_count > 1:
+        w = w.where(F.col("wc") >= min_count)
+    syms = w.select(
+        F.expr(_CHARS_OF_WORD.format(w="word")).alias("syms"), "wc"
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    prev = syms
+    for rnd in range(n_merges):
+        best = (
+            syms.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), i -> "
+                        "struct(element_at(syms, i + 1) AS a, "
+                        "element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        syms = prev.withColumn(
+            "syms", F.expr(_fold_merge_sql("syms", a, b, rnd))
+        ).localCheckpoint()
+        release_local_checkpoint(prev)
+        prev = syms
+    release_local_checkpoint(prev)  # merges carry the answer
+    return merges
+
+
+def bpe_apply_merges(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Segment every document with a learned merge table: (doc_id,
+    tokens) where tokens = the concatenation of each word's BPE
+    symbols in document order. One projection — the merge chain is
+    folded into a single expression (see module docstring for the
+    production-sized alternative)."""
+    per_word = _CHARS_OF_WORD.format(w="w")
+    for lvl, (a, b) in enumerate(merges):
+        per_word = _fold_merge_sql(per_word, a, b, lvl)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "flatten(transform(filter(split(text, ' '), x -> x <> ''), "
+            f"w -> {per_word}))"
+        ).alias("tokens"),
+    )

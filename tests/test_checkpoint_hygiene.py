@@ -18,7 +18,7 @@ import os
 
 import pytest
 
-from ocr_spark.operators import dedup, similarity
+from ocr_spark.operators import dedup, similarity, tokenizer
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
@@ -80,3 +80,17 @@ def test_cc_rounds_release_superseded_blocks_under_sweep_contract(spark, tables)
     leftover = len(_persisted(spark))
     assert leftover <= 4, f"{leftover} blocks retained — CC rounds leaking?"
     _sweep(spark)
+
+
+def test_bpe_trainer_releases_every_round_checkpoint(spark, tables):
+    """bpe_train_merges checkpoints the symbol relation once per merge
+    round and must release each superseded round AND the final relation
+    (the answer is the returned Python merge table, not a DataFrame) —
+    so unlike the sketch operators it owes the caller a ZERO-residue
+    session, with no sweep required."""
+    docs, _ = tables
+    _sweep(spark)
+    merges = tokenizer.bpe_train_merges(docs.limit(50), n_merges=4)
+    assert merges, "trainer should learn at least one merge here"
+    leftover = len(_persisted(spark))
+    assert leftover == 0, f"{leftover} blocks retained — BPE rounds leaking?"

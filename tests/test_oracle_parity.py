@@ -85,7 +85,10 @@ GATE_WINDOW = 50
 # all four keep their local DuckDB parity gate in this file.
 # Late-r5: seq_pack_plan (new packing family) rotated IN, demoting
 # approx_distinct_check (sketch family stays gated via
-# approx_percentile_check; the demoted entry keeps local parity here).
+# approx_percentile_check; the demoted entry keeps local parity here);
+# then bpe_pair_counts (new tokenizer family) rotated IN, demoting
+# order_priority_counts (TPC-H keeps four gated rows; the demoted
+# entry keeps local parity here).
 GATED_REQUIRED = {
     # extraction
     "ocr_extract_spans", "ocr_extract_invariants", "ocr_extract_text_spans",
@@ -102,6 +105,8 @@ GATED_REQUIRED = {
     # corpus construction (new r5 family): line-level exact dedup,
     # deterministic stratified sampling, and sequence-packing placement
     "line_dedup_stats", "stratified_sample", "seq_pack_plan",
+    # tokenizer training (new late-r5 family)
+    "bpe_pair_counts",
     # dedup (production-shaped)
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dedup_corpus",
@@ -119,7 +124,7 @@ GATED_REQUIRED = {
     "approx_percentile_check",
     # TPC-H family
     "pricing_summary", "top_revenue_orders", "event_rollup",
-    "local_supplier_volume", "order_priority_counts",
+    "local_supplier_volume",
     # bucketed layout (zero-exchange co-located join)
     "bucketed_order_revenue",
 }

@@ -1,0 +1,151 @@
+"""Unit tests for distributed BPE training (operators/tokenizer.py):
+the Spark trainer must reproduce a sequential reference implementation
+with the same deterministic tie-break, and segmentation must match the
+trainer's own fold semantics. The sf0.01 DuckDB parity gate for
+bpe_pair_counts lives in test_oracle_parity.py."""
+
+from collections import Counter
+
+from ocr_spark.operators import tokenizer
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+# Sequential reference: greedy leftmost merge application, max-count
+# pair with lexicographically-smallest tie-break — the exact contract
+# tokenizer.py documents.
+
+
+def _ref_apply(sym_seq, a, b):
+    out = []
+    for x in sym_seq:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_train(word_counts, n_merges):
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += cnt
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append(best)
+        for w in syms:
+            syms[w] = _ref_apply(syms[w], *best)
+    return merges, syms
+
+
+CLASSIC = (
+    ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+)
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    # "ab" x2, "b" and "a" contribute no pairs; "abc" adds (a,b), (b,c)
+    df = _docs(spark, [(0, "ab ab b a", "en", "s"), (1, "abc", "en", "s")])
+    rows = {
+        (r["sym_a"], r["sym_b"]): r["cnt"]
+        for r in tokenizer.bpe_pair_counts(df).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_bpe_train_matches_reference_on_classic_corpus(spark):
+    df = _docs(spark, [(i, w, "en", "s") for i, w in enumerate(CLASSIC)])
+    expect, _ = _ref_train(Counter(CLASSIC), 6)
+    got = tokenizer.bpe_train_merges(df, n_merges=6)
+    assert got == expect
+
+
+def test_bpe_train_tie_break_is_lexicographic(spark):
+    # (a,b) and (c,d) both count 2 -> the smaller pair wins round 1
+    df = _docs(spark, [(0, "ab cd", "en", "s"), (1, "ab cd", "en", "s")])
+    merges = tokenizer.bpe_train_merges(df, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    # "ab" collapses to one symbol after one merge; round 2 finds no pair
+    df = _docs(spark, [(0, "ab ab", "en", "s")])
+    merges = tokenizer.bpe_train_merges(df, n_merges=5)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_train_min_count_prunes_rare_words(spark):
+    # without pruning "zz" (1 occurrence) loses to "ab" (3); with
+    # min_count=2 the zz word leaves the statistics entirely
+    df = _docs(
+        spark,
+        [(0, "ab ab ab zz", "en", "s")],
+    )
+    assert tokenizer.bpe_train_merges(df, n_merges=2) == [
+        ("a", "b"), ("z", "z")
+    ]
+    assert tokenizer.bpe_train_merges(df, n_merges=2, min_count=2) == [
+        ("a", "b")
+    ]
+
+
+def test_bpe_train_partition_invariant(spark):
+    rows = [(i, w, "en", "s") for i, w in enumerate(CLASSIC)]
+    df = _docs(spark, rows)
+    a = tokenizer.bpe_train_merges(df, n_merges=4)
+    b = tokenizer.bpe_train_merges(df.repartition(7), n_merges=4)
+    c = tokenizer.bpe_train_merges(df.coalesce(1), n_merges=4)
+    assert a == b == c
+
+
+def test_bpe_apply_merges_matches_reference(spark):
+    wc = Counter(CLASSIC)
+    merges, ref_syms = _ref_train(wc, 6)
+    df = _docs(spark, [(i, w, "en", "s") for i, w in enumerate(CLASSIC)])
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in tokenizer.bpe_apply_merges(df, merges).collect()
+    }
+    for i, w in enumerate(CLASSIC):
+        assert got[i] == ref_syms[w], (w, got[i], ref_syms[w])
+
+
+def test_bpe_apply_overlapping_merge_is_leftmost(spark):
+    # "aaa" + merge (a,a) -> ["aa", "a"], never ["a", "aa"] or ["aaa"]
+    df = _docs(spark, [(0, "aaa", "en", "s")])
+    row = tokenizer.bpe_apply_merges(df, [("a", "a")]).collect()[0]
+    assert row["tokens"] == ["aa", "a"]
+
+
+def test_bpe_apply_no_merges_yields_chars(spark):
+    df = _docs(spark, [(0, "ab c", "en", "s")])
+    row = tokenizer.bpe_apply_merges(df, []).collect()[0]
+    assert row["tokens"] == ["a", "b", "c"]
+
+
+def test_bpe_apply_merge_chain_feeds_later_merges(spark):
+    # merge 1 forms "ab"; merge 2 consumes it as a left symbol
+    df = _docs(spark, [(0, "abc", "en", "s")])
+    row = tokenizer.bpe_apply_merges(df, [("a", "b"), ("ab", "c")]).collect()[0]
+    assert row["tokens"] == ["abc"]
+
+
+def test_bpe_pair_counts_plan_is_map_side_partial(spark):
+    df = _docs(spark, [(0, "ab ab", "en", "s")])
+    plan = (
+        tokenizer.bpe_pair_counts(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

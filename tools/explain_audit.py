@@ -165,6 +165,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("corpus_pack_plan", ["BroadcastHashJoin", "partial_min"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # BPE pair statistics: both aggregates (word counts, pair counts)
+    # must be map-side partial — the exchanges carry distinct words /
+    # distinct pairs, never documents — and the top-k listing must be
+    # a TakeOrderedAndProject, never a global sort
+    ("bpe_pair_counts", ["partial_count", "partial_sum",
+                         "TakeOrderedAndProject"],
+     ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]),
     # PII count-and-mask scrub: a pure projection over the scan — the
     # plan must carry no exchange and never drop to Python (the regex
     # chain is JVM-side regexp_count/regexp_replace)
