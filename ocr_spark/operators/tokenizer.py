@@ -28,12 +28,20 @@ Scale shape (the 100 TB read):
   tie-break on dict insertion order, which is not reproducible across
   partitionings); this makes the learned merge table bit-identical at
   any cluster size.
-- ``bpe_apply_merges`` chains one fold per merge inside a single
-  projection — right for the tens-of-merges regime this repo tests;
-  a production 50k-merge table should instead broadcast the ranked
-  merge table into an Arrow-batched kernel (the functions/udfs.py
-  pattern), because a 50k-deep expression tree stresses the analyzer,
-  not the executors.
+- ``bpe_apply_merges`` has TWO engines behind one signature, chosen
+  by merge-table size (``engine='auto'``): small tables chain one
+  fold per merge inside a single projection (pure codegen, zero
+  Python); a production 50k-merge table instead ships the ranked
+  merge list into an Arrow-batched ``mapInPandas`` kernel (the
+  plans/extract.py pattern — the list rides the serialized closure,
+  one copy per executor), because a 50k-deep expression tree
+  stresses the analyzer, not the executors. The kernel replays the
+  SAME sequential per-rank left-to-right pass as the fold (so the
+  two engines are bit-identical by construction, pinned in
+  tests/test_tokenizer.py) and memoizes word -> symbols per batch —
+  segmentation cost scales with the batch's distinct vocabulary,
+  not its token count (Zipf makes that a large constant factor on
+  real text).
 
 The greedy left fold applies one merge (a, b) exactly like the
 sequential BPE reference: scanning left to right, a freshly-merged
@@ -167,21 +175,80 @@ def bpe_train_merges(
     return merges
 
 
+# Above this many merges the fold-expression tree is an analyzer
+# burden, not an executor one — switch to the Arrow kernel.
+EXPR_MAX_MERGES = 64
+
+
+def _segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The sequential reference the fold engine implements: one
+    left-to-right greedy pass per merge, in rank order."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
 def bpe_apply_merges(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    engine: str = "auto",
+    expr_max_merges: int = EXPR_MAX_MERGES,
 ) -> DataFrame:
     """Segment every document with a learned merge table: (doc_id,
     tokens) where tokens = the concatenation of each word's BPE
-    symbols in document order. One projection — the merge chain is
-    folded into a single expression (see module docstring for the
-    production-sized alternative)."""
-    per_word = _CHARS_OF_WORD.format(w="w")
-    for lvl, (a, b) in enumerate(merges):
-        per_word = _fold_merge_sql(per_word, a, b, lvl)
-    return docs.select(
-        "doc_id",
-        F.expr(
-            "flatten(transform(filter(split(text, ' '), x -> x <> ''), "
-            f"w -> {per_word}))"
-        ).alias("tokens"),
-    )
+    symbols in document order.
+
+    ``engine='expr'`` folds the merge chain into a single projection
+    (pure codegen — right for small tables); ``engine='arrow'`` runs
+    an Arrow-batched ``mapInPandas`` kernel that replays the same
+    per-rank pass with per-batch word memoization (right for
+    production-sized tables); ``'auto'`` picks by table size. Both
+    engines are bit-identical (tests/test_tokenizer.py)."""
+    if engine == "auto":
+        engine = "expr" if len(merges) <= expr_max_merges else "arrow"
+    if engine == "expr":
+        per_word = _CHARS_OF_WORD.format(w="w")
+        for lvl, (a, b) in enumerate(merges):
+            per_word = _fold_merge_sql(per_word, a, b, lvl)
+        return docs.select(
+            "doc_id",
+            F.expr(
+                "flatten(transform(filter(split(text, ' '), x -> x <> ''), "
+                f"w -> {per_word}))"
+            ).alias("tokens"),
+        )
+    if engine != "arrow":
+        raise ValueError(f"engine must be auto/expr/arrow, got {engine!r}")
+
+    table = list(merges)  # rides the closure: one copy per executor
+    src = docs.select("doc_id", "text")
+    out_schema = src.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_id {out_schema}, tokens array<string>"
+
+    def _kernel(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            toks = []
+            for text in pdf["text"]:
+                doc: list[str] = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    syms = cache.get(w)
+                    if syms is None:
+                        syms = _segment_word(w, table)
+                        cache[w] = syms
+                    doc.extend(syms)
+                toks.append(doc)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
+
+    return src.mapInPandas(_kernel, out_schema)

@@ -141,6 +141,49 @@ def test_bpe_apply_merge_chain_feeds_later_merges(spark):
     assert row["tokens"] == ["abc"]
 
 
+def test_bpe_apply_arrow_engine_matches_expr_engine(spark):
+    # the two engines behind bpe_apply_merges must be bit-identical:
+    # the Arrow kernel replays the same sequential per-rank pass the
+    # fold expression implements
+    merges, _ = _ref_train(Counter(CLASSIC), 6)
+    df = _docs(spark, [(i, w, "en", "s") for i, w in enumerate(CLASSIC)])
+    expr = {
+        r["doc_id"]: r["tokens"]
+        for r in tokenizer.bpe_apply_merges(df, merges, engine="expr").collect()
+    }
+    arrow = {
+        r["doc_id"]: r["tokens"]
+        for r in tokenizer.bpe_apply_merges(df, merges, engine="arrow").collect()
+    }
+    assert expr == arrow
+
+
+def test_bpe_apply_engines_agree_on_adversarial_symbols(spark):
+    # quotes and backslashes in symbols exercise the expr engine's
+    # SQL-literal escaping; multi-space runs exercise empty-word
+    # filtering; overlap exercises the leftmost-pass contract
+    rows = [(0, "a'b  a'b", "en", "s"), (1, "x\\y  aaa", "en", "s")]
+    df = _docs(spark, rows)
+    merges = [("a", "'"), ("a'", "b"), ("x", "\\"), ("a", "a")]
+    expr = tokenizer.bpe_apply_merges(df, merges, engine="expr").collect()
+    arrow = tokenizer.bpe_apply_merges(df, merges, engine="arrow").collect()
+    got_e = {r["doc_id"]: r["tokens"] for r in expr}
+    got_a = {r["doc_id"]: r["tokens"] for r in arrow}
+    assert got_e == got_a
+    assert got_e[0] == ["a'b", "a'b"]
+    assert got_e[1] == ["x\\", "y", "aa", "a"]
+
+
+def test_bpe_apply_auto_switches_to_arrow_above_threshold(spark):
+    df = _docs(spark, [(0, "abc", "en", "s")])
+    merges = [("a", "b"), ("ab", "c")]
+    small = tokenizer.bpe_apply_merges(df, merges, expr_max_merges=4)
+    big = tokenizer.bpe_apply_merges(df, merges, expr_max_merges=1)
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    assert small.collect()[0]["tokens"] == big.collect()[0]["tokens"] == ["abc"]
+
+
 def test_bpe_pair_counts_plan_is_map_side_partial(spark):
     df = _docs(spark, [(0, "ab ab", "en", "s")])
     plan = (
