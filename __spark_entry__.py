@@ -355,11 +355,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentile_check": lambda s, d: pairing.value_percentiles_approx_check(
         _t(s, d, "events")
     ),
-    # tokenize-and-pack placement plan (new r5 family): global token
-    # prefix sum as a distributed two-phase scan (block windows + tiny
-    # offset cumsum), partition-invariant by construction; gated in the
-    # window because it is a brand-new family with no gated twin
-    "seq_pack_plan": lambda s, d: corpus.seq_pack_plan(
+    # tokenize-and-pack placement plan (r5 family, final rotation):
+    # segment with the frozen DEMO_MERGES BPE table and pack by the
+    # REAL token counts the tokenizer induces — a strict content
+    # superset of seq_pack_plan (same _pack_from_counts two-phase
+    # prefix scan, but over BPE symbol counts instead of whitespace
+    # word counts), so it takes the packing family's window slot;
+    # the oracle replays segmentation as a separator-encoded replace
+    # chain — see _bpe_count_sql below for the encoding argument
+    "bpe_pack_plan": lambda s, d: tokenizer.bpe_pack_plan(
         _t(s, d, "documents")
     ),
     # r5 rotation: first driver row for the F15 sparse-encode twin
@@ -377,7 +381,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dup_clusters_banded, ivf_recall and contamination_check down here;
     # late r5 gates seq_pack_plan (new family, no gated twin), rotating
     # approx_distinct_check down (the sketch family stays gated via
-    # approx_percentile_check).
+    # approx_percentile_check); final r5 rotation promotes
+    # bpe_pack_plan over seq_pack_plan (a strict content superset:
+    # identical _pack_from_counts scan, counts from BPE segmentation).
     "ocr_extract_heavy_path": _q_extract_heavy_path,
     "approx_distinct_check": lambda s, d: textstats.distinct_token_check(
         _t(s, d, "documents")
@@ -411,6 +417,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the flagship composition: corpus build -> packing layout in ONE
     # plan (both halves individually gated in the window)
     "corpus_pack_plan": lambda s, d: corpus.corpus_pack_plan(
+        _t(s, d, "documents")
+    ),
+    # whitespace-count packing placement (rotated down in the final r5
+    # rotation — its gated twin bpe_pack_plan runs the identical
+    # _pack_from_counts two-phase scan in the window)
+    "seq_pack_plan": lambda s, d: corpus.seq_pack_plan(
         _t(s, d, "documents")
     ),
     # CCNet/Dolma-style PII count-and-mask pass (map-only, zero
@@ -787,6 +799,48 @@ _DK_KEEP_CTE = """
                       THEN 1 ELSE 0 END AS INT) AS keep
           FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
 """
+
+def _bpe_count_sql() -> str:
+    """DuckDB replay of per-document BPE token counts under the frozen
+    tokenizer.DEMO_MERGES table, as one scalar expression per word.
+
+    Encoding argument: a word's symbol sequence is rendered as a string
+    with every symbol flanked by a DOUBLE \\x1f separator on both sides
+    (symbols never contain \\x1f). Applying merge (a, b) is then one
+    ``replace(s, '\\x1f a \\x1f\\x1f b \\x1f', '\\x1f ab \\x1f')``: a
+    match must align to symbol boundaries (the char before a symbol's
+    first char is always \\x1f, and symbols cannot contain it), each
+    match consumes only the INNER separator of each double flank, so
+    consecutive merge sites chain exactly like the Spark fold's single
+    greedy left-to-right pass — replace() is leftmost-non-overlapping,
+    which IS the fold's contract ("aaa" + (a,a) -> ["aa","a"]). The
+    token count is then the number of non-empty fields split on the
+    double separator. tests/test_tokenizer.py pins the fold against a
+    sequential reference; this replay is pinned by the bpe_pack_plan
+    parity row itself."""
+    sep = "\x1f"
+    enc = (
+        f"concat('{sep}{sep}', "
+        f"regexp_replace(word, '(.)', '\\1{sep}{sep}', 'g'))"
+    )
+    for a, b in tokenizer.DEMO_MERGES:
+        enc = (
+            f"replace({enc}, '{sep}{a}{sep}{sep}{b}{sep}', "
+            f"'{sep}{a}{b}{sep}')"
+        )
+    return f"""
+        SELECT d.doc_id,
+               CAST(coalesce(sum(e.n), 0) AS INT) AS n_tokens
+        FROM documents d LEFT JOIN (
+          SELECT doc_id,
+                 len(list_filter(string_split({enc}, '{sep}{sep}'),
+                     x -> x <> '')) AS n
+          FROM (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS word
+                FROM documents)) e USING (doc_id)
+        GROUP BY d.doc_id"""
+
 
 # the end-to-end corpus-build replay, shared by the corpus_pipeline
 # oracle and the corpus_pack_plan composition (which nests it as a
@@ -1239,6 +1293,22 @@ ORACLES: dict[str, str] = {
                prefix // {corpus.PACK_CAPACITY} AS start_bin,
                prefix % {corpus.PACK_CAPACITY} AS start_offset
         FROM pp
+    """,
+    # tokenize-and-pack: the seq_pack prefix-scan replay over BPE
+    # token counts under the frozen DEMO_MERGES table (segmentation
+    # replayed via the separator-encoded replace chain, _bpe_count_sql)
+    "bpe_pack_plan": f"""
+        WITH t AS ({_bpe_count_sql()}),
+        p AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS prefix
+          FROM t)
+        SELECT doc_id, n_tokens,
+               prefix // {corpus.PACK_CAPACITY} AS start_bin,
+               prefix % {corpus.PACK_CAPACITY} AS start_offset
+        FROM p
     """,
     "seq_pack_segments": f"""
         WITH t AS (

@@ -38,6 +38,7 @@ DEFAULT_QUERIES = [
     "seq_pack_plan",
     "corpus_pack_plan",
     "bpe_pair_counts",
+    "bpe_pack_plan",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",

@@ -56,9 +56,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ocr_spark.operators.corpus import (
+    PACK_BLOCK,
+    PACK_CAPACITY,
+    _pack_from_counts,
+)
+from ocr_spark.operators.dedup import _spread
 from ocr_spark.plans.session import release_local_checkpoint
 
 PAIR_TOP_K = 50
+
+# Frozen demo merge table for the gated ``bpe_pack_plan`` query: the 8
+# merges bpe_train_merges learns on the sf0.01 documents corpus,
+# committed as a constant so the DuckDB oracle can replay segmentation
+# verbatim. ('m', 'er') exercises a multi-character right symbol.
+DEMO_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("s", "t"), ("o", "r"), ("o", "w"),
+    ("i", "n"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
 
 
 def _sql_str(s: str) -> str:
@@ -252,3 +267,32 @@ def bpe_apply_merges(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
 
     return src.mapInPandas(_kernel, out_schema)
+
+
+def bpe_pack_plan(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    capacity: int = PACK_CAPACITY,
+    block: int = PACK_BLOCK,
+) -> DataFrame:
+    """Tokenize-and-pack: segment every document with a BPE merge
+    table and pack by the REAL token counts the tokenizer induces —
+    (doc_id, n_tokens, start_bin, start_offset), the corpus.seq_pack
+    contract but with n_tokens = the document's BPE symbol count
+    instead of its whitespace word count. This is the placement a
+    training job actually needs: bins hold ``capacity`` model tokens,
+    not ``capacity`` words.
+
+    The count pass never materializes token arrays — ``size()`` over
+    the segmentation fold collapses to an int per document before the
+    prefix scan — and the scan itself is corpus._pack_from_counts's
+    two-phase construction (block windows + tiny offset cumsum), so
+    the output stays partition-invariant and the only corpus-scale
+    state is one int per document. ``merges`` defaults to the frozen
+    DEMO_MERGES so the driver's DuckDB oracle can replay segmentation
+    as a separator-encoded replace chain (see the oracle in
+    __spark_entry__.py for the encoding argument)."""
+    merges = DEMO_MERGES if merges is None else merges
+    toks = bpe_apply_merges(_spread(docs), merges)
+    counts = toks.select("doc_id", F.size("tokens").alias("n_tokens"))
+    return _pack_from_counts(counts, capacity, block)

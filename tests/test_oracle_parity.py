@@ -88,7 +88,10 @@ GATE_WINDOW = 50
 # approx_percentile_check; the demoted entry keeps local parity here);
 # then bpe_pair_counts (new tokenizer family) rotated IN, demoting
 # order_priority_counts (TPC-H keeps four gated rows; the demoted
-# entry keeps local parity here).
+# entry keeps local parity here). Final r5 rotation: bpe_pack_plan
+# (tokenize-and-pack) replaces seq_pack_plan in the window — a strict
+# content superset (same _pack_from_counts two-phase prefix scan, but
+# counts come from BPE segmentation); seq_pack_plan keeps local parity.
 GATED_REQUIRED = {
     # extraction
     "ocr_extract_spans", "ocr_extract_invariants", "ocr_extract_text_spans",
@@ -104,7 +107,7 @@ GATED_REQUIRED = {
     "sparse_label_encode",
     # corpus construction (new r5 family): line-level exact dedup,
     # deterministic stratified sampling, and sequence-packing placement
-    "line_dedup_stats", "stratified_sample", "seq_pack_plan",
+    "line_dedup_stats", "stratified_sample", "bpe_pack_plan",
     # tokenizer training (new late-r5 family)
     "bpe_pair_counts",
     # dedup (production-shaped)

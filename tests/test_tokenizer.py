@@ -184,6 +184,41 @@ def test_bpe_apply_auto_switches_to_arrow_above_threshold(spark):
     assert small.collect()[0]["tokens"] == big.collect()[0]["tokens"] == ["abc"]
 
 
+def test_bpe_pack_plan_matches_sequential_packing(spark):
+    # pack by BPE token counts: replay with the sequential reference
+    # segmenter + a plain running-total pack at a tiny capacity
+    rows = [(i, w + " " + w, "en", "s") for i, w in enumerate(CLASSIC)]
+    merges, _ = _ref_train(Counter([w for _, t, *_ in rows for w in t.split()]), 4)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_bin"], r["start_offset"])
+        for r in tokenizer.bpe_pack_plan(
+            _docs(spark, rows), merges, capacity=7, block=4
+        ).collect()
+    }
+    prefix = 0
+    for i, text, *_ in rows:
+        n = sum(len(_ref_apply_all(w, merges)) for w in text.split(" ") if w)
+        assert got[i] == (n, prefix // 7, prefix % 7), (i, got[i])
+        prefix += n
+
+
+def _ref_apply_all(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        syms = _ref_apply(syms, a, b)
+    return syms
+
+
+def test_bpe_pack_plan_partition_invariant(spark):
+    rows = [(i, w, "en", "s") for i, w in enumerate(CLASSIC)]
+    df = _docs(spark, rows)
+    base = sorted(map(tuple, tokenizer.bpe_pack_plan(df, capacity=5).collect()))
+    repart = sorted(
+        map(tuple, tokenizer.bpe_pack_plan(df.repartition(7), capacity=5).collect())
+    )
+    assert base == repart
+
+
 def test_bpe_pair_counts_plan_is_map_side_partial(spark):
     df = _docs(spark, [(0, "ab ab", "en", "s")])
     plan = (

@@ -165,6 +165,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("corpus_pack_plan", ["BroadcastHashJoin", "partial_min"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # tokenize-and-pack: same prefix-scan contracts as seq_pack_plan
+    # (block-window cumsum + broadcast offset join-back, never a
+    # single-reducer global sort); the default DEMO_MERGES table rides
+    # the codegen fold engine, so no Python rows either
+    ("bpe_pack_plan", ["BroadcastHashJoin", "partial_sum"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # BPE pair statistics: both aggregates (word counts, pair counts)
     # must be map-side partial — the exchanges carry distinct words /
     # distinct pairs, never documents — and the top-k listing must be
