@@ -453,6 +453,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents")
     ),
     "ivf_recall": lambda s, d: similarity.ivf_recall(_t(s, d, "embeddings")),
+    # SemDeDup composition (late r5): near-dup edges -> distributed CC
+    # -> keeper anti-join, all from gated pieces (embedding_near_dup +
+    # dup_clusters_banded + dedup_corpus families); the wrapper projects
+    # the hashable columns (the float[] embedding stays out of the hash)
+    "semdedup_corpus": lambda s, d: similarity.semdedup_corpus(
+        _t(s, d, "embeddings")
+    ).select("vec_id", "label"),
     "value_percentiles": lambda s, d: pairing.value_percentiles(_t(s, d, "events")),
     "minhash_signature": lambda s, d: dedup.minhash_signatures(_t(s, d, "documents")),
     "near_dup_pairs": lambda s, d: dedup.near_dup_pairs(_t(s, d, "documents")),
@@ -1664,6 +1671,42 @@ ORACLES: dict[str, str] = {
         FROM ev a JOIN ev b
           ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+    """,
+    # SemDeDup: the embedding_near_dup candidate edges fed through the
+    # dup_clusters_banded recursive-CTE CC replay; survivors = vectors
+    # with no edges plus each cluster's minimum vec_id (the propagated
+    # label IS the keeper, mirroring dedup_keep_list)
+    "semdedup_corpus": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                c.cell_id ASC) AS rn
+            FROM e, c) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, e.v, a.cell_id FROM e JOIN assign a USING (vec_id)),
+        cpairs AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM ev a JOIN ev b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25),
+        edges AS (
+          SELECT doc_a, doc_b FROM cpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM cpairs),
+        reach(doc_id, label) AS (
+          SELECT doc_a, doc_a FROM edges
+          UNION
+          SELECT g.doc_a, r.label
+          FROM edges g JOIN reach r ON g.doc_b = r.doc_id),
+        clusters AS (
+          SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+        SELECT emb.vec_id, emb.label
+        FROM embeddings emb LEFT JOIN clusters cl ON emb.vec_id = cl.doc_id
+        WHERE cl.doc_id IS NULL OR cl.cluster_id = emb.vec_id
     """,
     "knn_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS double[]) AS v FROM embeddings),

@@ -321,3 +321,44 @@ def ivf_recall(
         F.count("*").alias("n_queries"),
         F.round(F.sum("n_hit") / (F.count("*") * k), 6).alias("avg_recall"),
     )
+
+
+# -- semantic dedup (SemDeDup) ---------------------------------------------
+
+
+def semdedup_corpus(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    stride: int = CENTROID_STRIDE,
+    max_iters: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates, keeping one representative per duplicate cluster.
+
+    The composition every embedding-aware pipeline ends with, built
+    entirely from gated pieces: ``embedding_near_dup_pairs`` supplies
+    the candidate edges (cosine >= ``threshold``, blocked by IVF cell
+    so the self-join is |cell|^2, never |corpus|^2), ``dedup.
+    dedup_keep_list`` runs distributed min-label connected components
+    over them (per-round localCheckpoint + superseded-block release),
+    and the survivors materialize as ONE left-anti join against the
+    (small) drop list — the corpus is scanned once and never shuffled,
+    exactly the ``dedupped_corpus`` contract. The keeper of a cluster
+    is its minimum vec_id (the propagated label), so the output is
+    partition-invariant by construction. Returns the surviving rows of
+    ``emb`` with all original columns intact."""
+    from ocr_spark.operators.dedup import dedup_keep_list  # noqa: PLC0415
+
+    edges = embedding_near_dup_pairs(emb, threshold, stride).select(
+        F.col("vec_id_a").alias("doc_a"), F.col("vec_id_b").alias("doc_b")
+    )
+    drop = (
+        dedup_keep_list(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            pairs=edges,
+            max_iters=max_iters,
+        )
+        .where(F.col("keep") == 0)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return emb.join(drop, "vec_id", "left_anti")

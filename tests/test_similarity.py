@@ -83,3 +83,62 @@ def test_kmeans_assign_covers_corpus(clustered):
     )
     assert assign.count() == N
     assert assign.select("vec_id").distinct().count() == N
+
+
+# -- SemDeDup composition ----------------------------------------------------
+
+
+def _semdedup_rows(spark):
+    # three planted groups: {0,1} duplicates on e_0, {2,3,4} duplicates
+    # on e_1, {5} unique (its cosine to both axes is < 0.9); vec_id 0 is
+    # the only stride-100 centroid, so every vector lands in one cell
+    # and the IVF blocking is exhaustive — the CC semantics are what's
+    # under test here, not the blocking
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 1.0]),
+        (5, [0.6, 0.8]),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_semdedup_keeps_one_representative_per_cluster(spark):
+    df = _semdedup_rows(spark)
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_corpus(df, threshold=0.9).collect()
+    )
+    assert kept == [0, 2, 5]
+
+
+def test_semdedup_no_duplicates_is_identity(spark):
+    df = _semdedup_rows(spark).where(F.col("vec_id").isin(0, 2, 5))
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_corpus(df, threshold=0.9).collect()
+    )
+    assert kept == [0, 2, 5]
+
+
+def test_semdedup_partition_invariant(spark):
+    df = _semdedup_rows(spark)
+    base = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_corpus(df, threshold=0.9).collect()
+    )
+    repart = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_corpus(
+            df.repartition(5), threshold=0.9
+        ).collect()
+    )
+    assert base == repart == [0, 2, 5]

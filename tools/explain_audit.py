@@ -105,6 +105,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # are no cartesian corpus^2 and no Python fallback.
     ("embedding_near_dup", [],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # SemDeDup materialization: survivors = corpus minus drop list via
+    # an equi anti-join (the dedup_corpus contract over embeddings);
+    # the CC rounds upstream are already materialized localCheckpoints,
+    # so the final plan must stay anti-join + checkpoint scan
+    ("semdedup_corpus", ["LeftAnti"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
