@@ -409,6 +409,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shuffle": lambda s, d: corpus.training_shuffle(
         _t(s, d, "documents")
     ),
+    # temperature-scaled source mixing (XLM-R alpha-sampling): one
+    # map-side-partial aggregate, all derived math on the tiny
+    # per-source relation; pow() quantized to nano-ints before the
+    # cross-source sum so q is summation-order-free (gated family
+    # twin: stratified_sample in the window)
+    "domain_mix_weights": lambda s, d: corpus.domain_mix_weights(
+        _t(s, d, "documents")
+    ),
+    # CCNet-style LM quality signal: add-k bigram model trained on
+    # the corpus itself, per-doc cross-entropy; shuffles bounded by
+    # distinct grams, log-probs quantized to micro-nats before the
+    # per-doc sum (gated family twins: stopword_fraction +
+    # repetition_ratio in the window)
+    "bigram_lm_scores": lambda s, d: textstats.bigram_lm_scores(
+        _t(s, d, "documents")
+    ),
     # the packing plan exploded into per-(document, bin) executor
     # segments (gated family twin: seq_pack_plan in the window)
     "seq_pack_segments": lambda s, d: corpus.seq_pack_segments(
@@ -1316,6 +1332,55 @@ ORACLES: dict[str, str] = {
                prefix // {corpus.PACK_CAPACITY} AS start_bin,
                prefix % {corpus.PACK_CAPACITY} AS start_offset
         FROM p
+    """,
+    # temperature mixing: the same nano-quantized pow pipeline; DuckDB
+    # sums BIGINTs to HUGEINT, so the denominator is cast back before
+    # the divisions
+    "domain_mix_weights": """
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        s AS (SELECT per.*,
+                     CAST(per.n_tokens AS DOUBLE) / tot.tot AS p,
+                     CAST(round(pow(CAST(per.n_tokens AS DOUBLE) / tot.tot,
+                                    0.3) * 1e9, 0) AS BIGINT) AS s_nano
+              FROM per, tot),
+        d AS (SELECT CAST(sum(s_nano) AS BIGINT) AS denom FROM s)
+        SELECT source, n_docs, n_tokens, round(p, 6) AS p,
+               round(CAST(s_nano AS DOUBLE) / denom, 6) AS q,
+               round((CAST(s_nano AS DOUBLE) / denom) / p, 6) AS sample_rate
+        FROM s, d
+    """,
+    # bigram LM: identical add-k model and micro-nat quantization; the
+    # per-doc sum is over BIGINTs so engine summation order is moot
+    "bigram_lm_scores": """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS ws
+          FROM documents),
+        p AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM t, unnest(range(1, greatest(len(ws), 1))) AS r(i)),
+        uni AS (SELECT w1, count(*) AS cu FROM
+                  (SELECT doc_id, unnest(ws) AS w1 FROM t) GROUP BY w1),
+        v AS (SELECT count(*) AS v FROM uni),
+        bi AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
+        lp AS (
+          SELECT p.doc_id,
+                 CAST(round(ln((bi.cb + 0.5) / (uni.cu + 0.5 * v.v)) * 1e6,
+                            0) AS BIGINT) AS lp
+          FROM p JOIN bi USING (w1, w2) JOIN uni USING (w1), v),
+        g AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(-CAST(sum(lp) AS DOUBLE) / 1e6 / count(*), 6) AS xent
+          FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               g.xent
+        FROM documents d LEFT JOIN g USING (doc_id)
     """,
     "seq_pack_segments": f"""
         WITH t AS (

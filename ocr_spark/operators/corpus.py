@@ -542,3 +542,53 @@ def dup_gram_stats(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
             F.sum((F.col("cnt") >= 2).cast("long")).alias("n_dup_grams"),
         )
     )
+
+
+# -- domain mixture planning -------------------------------------------------
+
+
+def domain_mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled source-mixing plan — the multinomial
+    alpha-sampling recipe (XLM-R's alpha=0.3 / the LLaMA data-mix
+    shape): a source holding token share p_i is sampled with
+    probability q_i proportional to p_i^alpha, flattening the head and
+    lifting the long tail of domains.
+
+    Shape at scale: ONE map-side-partial aggregate over the corpus
+    (tokens collapse to one long per source per map partition before
+    the exchange), then every derived quantity lives on the tiny
+    per-source relation — its global total joins back as a broadcast
+    single-row aggregate (the accepted two-tiny-aggregates pattern,
+    see plans/extract.py's invariants query). Determinism: pow()
+    outputs are quantized to nano-units (BIGINT) before the
+    cross-source sum, so q never depends on float summation order.
+
+    Returns (source, n_docs, n_tokens, p, q, sample_rate) where
+    sample_rate = q/p is the per-document keep-probability multiplier
+    a sampler applies within the source (>1 = oversample)."""
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("size(filter(split(text, ' '), x -> x <> ''))")).alias(
+            "n_tokens"
+        ),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens") / F.col("tot")
+    )
+    nano = F.round(F.pow("p", F.lit(float(alpha))) * 1e9, 0).cast("long")
+    scored = shared.withColumn("s_nano", nano)
+    denom = scored.agg(F.sum("s_nano").alias("denom"))
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p", 6).alias("p"),
+            F.round(F.col("s_nano") / F.col("denom"), 6).alias("q"),
+            F.round(
+                (F.col("s_nano") / F.col("denom")) / F.col("p"), 6
+            ).alias("sample_rate"),
+        )
+    )

@@ -250,3 +250,72 @@ def rolling_fingerprints(docs: DataFrame, window: int = 8) -> DataFrame:
         f"i -> md5(substr(text, i, {window})))"
     )
     return docs.select("doc_id", F.array_min(grams).alias("rolling_fp"))
+
+
+def bigram_lm_scores(docs: DataFrame, k: float = 0.5) -> DataFrame:
+    """CCNet-style LM quality signal: per-document cross-entropy under
+    an add-k-smoothed word-bigram model trained on the corpus itself
+    (the distributed stand-in for CCNet's KenLM perplexity bucketing —
+    Wenzek et al. 2020; high xent = far from the corpus distribution =
+    gibberish/boilerplate candidate).
+
+    P(w2|w1) = (B(w1,w2) + k) / (U(w1) + k*V); the vocabulary size V
+    and both count relations come from the SAME tokenization pass. The
+    shuffles are bounded by DISTINCT unigrams/bigrams (map-side partial
+    counts — a billion copies of one bigram collapse per map partition),
+    and the per-doc scoring join is an equi hash join against the
+    vocab-sized model relations (AQE broadcasts them when they fit —
+    the usual case, since vocab << corpus). Determinism: each bigram's
+    log-probability is quantized to micro-nats (BIGINT) before the
+    per-doc sum, so the score never depends on float summation order.
+
+    Returns (doc_id, n_bigrams, xent) — xent in nats rounded to 6,
+    NULL for docs with < 2 tokens (no bigram evidence)."""
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws")
+    )
+    # zip_with over the two shifted slices: empty/one-token docs give
+    # two empty slices and an empty bigram array (Spark's sequence()
+    # would DESCEND for start > stop and emit bogus null pairs)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " slice(ws, 2, greatest(size(ws) - 1, 0)),"
+                " (a, b) -> named_struct('w1', a, 'w2', b))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lp_micro = F.round(
+        F.log((F.col("cb") + F.lit(k)) / (F.col("cu") + F.lit(k) * F.col("v")))
+        * 1e6,
+        0,
+    ).cast("long")
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("lp") / 1e6 / F.count("*"), 6).alias("xent"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+    )

@@ -486,3 +486,50 @@ def test_dedup_plans_never_nested_loop(spark, op):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_mix_weights_hand_computed(spark):
+    # source A: 8 tokens, source B: 2 tokens -> p = .8/.2; at alpha=.5
+    # q_A : q_B = sqrt(.8) : sqrt(.2) = .894427 : .447214 -> 2:1
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d", "en", "A"),
+            (2, "e f g h", "en", "A"),
+            (3, "i j", "en", "B"),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in corpus.domain_mix_weights(df, alpha=0.5).collect()
+    }
+    assert out["A"]["n_docs"] == 2 and out["A"]["n_tokens"] == 8
+    assert out["B"]["n_docs"] == 1 and out["B"]["n_tokens"] == 2
+    assert out["A"]["p"] == pytest.approx(0.8, abs=1e-6)
+    assert out["B"]["p"] == pytest.approx(0.2, abs=1e-6)
+    assert out["A"]["q"] == pytest.approx(2 / 3, abs=1e-5)
+    assert out["B"]["q"] == pytest.approx(1 / 3, abs=1e-5)
+    # temperature flattens: the minority source is oversampled
+    assert out["B"]["sample_rate"] > 1 > out["A"]["sample_rate"]
+
+
+def test_domain_mix_weights_alpha_one_is_identity(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c", "en", "A"), (2, "d", "en", "B")],
+    )
+    for r in corpus.domain_mix_weights(df, alpha=1.0).collect():
+        assert r["q"] == pytest.approx(r["p"], abs=1e-5)
+        assert r["sample_rate"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_domain_mix_weights_partition_invariant(spark):
+    df = _docs(
+        spark,
+        [(i, f"w{i} w{i % 3}", "en", f"s{i % 4}") for i in range(40)],
+    )
+    base = sorted(map(tuple, corpus.domain_mix_weights(df).collect()))
+    repart = sorted(
+        map(tuple, corpus.domain_mix_weights(df.repartition(7)).collect())
+    )
+    assert base == repart

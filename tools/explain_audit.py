@@ -111,6 +111,16 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # so the final plan must stay anti-join + checkpoint scan
     ("semdedup_corpus", ["LeftAnti"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # temperature mixing: corpus collapses via map-side partial sums;
+    # the single-row totals ride broadcast nested-loops by design (the
+    # accepted two-tiny-aggregates pattern), so only a true cartesian
+    # or a Python fallback is forbidden
+    ("domain_mix_weights", ["partial_sum"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # bigram LM: both model relations are map-side partial counts; the
+    # vocab total is a broadcast single row; scoring joins stay equi
+    ("bigram_lm_scores", ["partial_count"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
