@@ -247,7 +247,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": lambda s, d: textstats.rolling_fingerprints(
         _t(s, d, "documents")
     ),
-    "quality_score": lambda s, d: textstats.quality_scores(_t(s, d, "documents")),
+    # end-of-r5 rotation: bigram_lm_scores (CCNet-style LM quality —
+    # a corpus-trained model face no other window row exercises) takes
+    # quality_score's slot; quality_score (a single consonant-ratio
+    # expression, the weakest quality face) keeps local parity below,
+    # and the Gopher family stays gated via stopword_fraction +
+    # repetition_ratio
+    "bigram_lm_scores": lambda s, d: textstats.bigram_lm_scores(
+        _t(s, d, "documents")
+    ),
     "stopword_fraction": lambda s, d: textstats.stopword_fractions(
         _t(s, d, "documents")
     ),
@@ -417,14 +425,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": lambda s, d: corpus.domain_mix_weights(
         _t(s, d, "documents")
     ),
-    # CCNet-style LM quality signal: add-k bigram model trained on
-    # the corpus itself, per-doc cross-entropy; shuffles bounded by
-    # distinct grams, log-probs quantized to micro-nats before the
-    # per-doc sum (gated family twins: stopword_fraction +
-    # repetition_ratio in the window)
-    "bigram_lm_scores": lambda s, d: textstats.bigram_lm_scores(
-        _t(s, d, "documents")
-    ),
+    # consonant-ratio quality heuristic (rotated below at end-of-r5:
+    # its window slot went to bigram_lm_scores, the corpus-trained LM
+    # quality face; this keeps local parity)
+    "quality_score": lambda s, d: textstats.quality_scores(_t(s, d, "documents")),
     # the packing plan exploded into per-(document, bin) executor
     # segments (gated family twin: seq_pack_plan in the window)
     "seq_pack_segments": lambda s, d: corpus.seq_pack_segments(

@@ -100,7 +100,10 @@ GATED_REQUIRED = {
     # bpe_token_count / rolling_fingerprint+char_vocab) to make window
     # room for the two NEW corpus-construction families
     "clean_text", "cjk_boilerplate_filter",
-    "bpe_token_count", "rolling_fingerprint", "quality_score",
+    # end-of-r5 rotation: bigram_lm_scores (corpus-trained LM quality,
+    # a new model face) took quality_score's slot; quality_score keeps
+    # local parity below the line
+    "bpe_token_count", "rolling_fingerprint", "bigram_lm_scores",
     "stopword_fraction", "repetition_ratio", "lang_id",
     "char_vocab", "length_histogram",
     "edit_distance", "arith_verdict_udf",
