@@ -39,11 +39,14 @@ DEFAULT_QUERIES = [
     "corpus_pack_plan",
     "bpe_pair_counts",
     "bpe_pack_plan",
+    "domain_mix_weights",
+    "bigram_lm_scores",
     "stopword_fraction",
     "straddle_prune",
     "eval_metrics",
     "knn_cosine_topk",
     "knn_cosine_ivf",
+    "semdedup_corpus",
     "media_catalog",
     "mutual_nearest_pair",
     "sessionize",
