@@ -94,3 +94,18 @@ def test_bpe_trainer_releases_every_round_checkpoint(spark, tables):
     assert merges, "trainer should learn at least one merge here"
     leftover = len(_persisted(spark))
     assert leftover == 0, f"{leftover} blocks retained — BPE rounds leaking?"
+
+
+def test_semdedup_bounded_residue_under_sweep_contract(spark, tables):
+    """semdedup_corpus nests dup_clusters over the embedding near-dup
+    edges: the per-round release contract must hold through the
+    composition — after the survivors action, at most the final CC
+    labels (plus ContextCleaner slack) remain, never one block per
+    round or the edge relation."""
+    _, emb = tables
+    _sweep(spark)
+    similarity.semdedup_corpus(emb).count()
+    leftover = len(_persisted(spark))
+    assert leftover <= 3, f"{leftover} blocks retained — semdedup leaking?"
+    _sweep(spark)
+    assert not _persisted(spark)
