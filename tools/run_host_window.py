@@ -53,6 +53,38 @@ PAIRS = [
 ]
 
 
+def derive_pairs(
+    results: dict[str, dict], ceil: dict[int, float]
+) -> list[dict]:
+    """Pure derivation: per-pair engine efficiency, the kernel
+    hardware ceiling over the same core step, and their ratio (the
+    engine's own contribution with the box's core-delivery droop
+    divided out)."""
+    pairs = []
+    for small, large, desc in PAIRS:
+        if small not in results or large not in results:
+            continue
+        eff = round(
+            (results[large]["docs_per_sec"] / results[small]["docs_per_sec"])
+            / 4,
+            3,
+        )
+        hw = round(
+            ceil[results[large]["cpus"]] / ceil[results[small]["cpus"]] / 4, 3
+        )
+        pairs.append(
+            {
+                "pair": desc,
+                "small": small,
+                "large": large,
+                "eff": eff,
+                "hw_ceiling": hw,
+                "engine_vs_ceiling": round(eff / hw, 3),
+            }
+        )
+    return pairs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=32000)
@@ -98,24 +130,7 @@ def main() -> None:
             "median_wall_s": round(med, 2),
             "docs_per_sec": round(args.docs / med, 2),
         }
-    pairs = []
-    for small, large, desc in PAIRS:
-        eff = round(
-            (results[large]["docs_per_sec"] / results[small]["docs_per_sec"]) / 4, 3
-        )
-        hw = round(
-            ceil[results[large]["cpus"]] / ceil[results[small]["cpus"]] / 4, 3
-        )
-        pairs.append(
-            {
-                "pair": desc,
-                "small": small,
-                "large": large,
-                "eff": eff,
-                "hw_ceiling": hw,
-                "engine_vs_ceiling": round(eff / hw, 3),
-            }
-        )
+    pairs = derive_pairs(results, ceil)
 
     payload = {
         "n_docs": args.docs,
