@@ -649,6 +649,41 @@ spark-submit executor-pair raw: 1x4 -> 4x4 executors =
 executors = **{sm.get('exec_scaling_efficiency_2x4_to_8x4', 'n/a')}**.
 """
 
+    # later-host supplementary windows (tools/run_host_window.py):
+    # the sandbox reassigns hosts between sessions, so each window is
+    # a standalone artifact — rendered here as ratios-only (walls from
+    # different hosts are never compared). host3's ad-hoc-shaped
+    # window (no "pairs" table) is summarized in NOTES_r5.md §15.
+    import glob as _glob
+
+    host_rows = []
+    for hf in sorted(
+        _glob.glob(os.path.join(REPO, "BENCH", "scaling_r5_host*.json"))
+    ):
+        with open(hf) as f:
+            hw_ = json.load(f)
+        if "pairs" not in hw_:
+            continue
+        for p_ in hw_["pairs"]:
+            host_rows.append(
+                f"| {os.path.basename(hf)} | {hw_['n_docs']} |"
+                f" {p_['pair']} | {p_['eff']} | {p_['hw_ceiling']} |"
+                f" **{p_['engine_vs_ceiling']}** |"
+            )
+    hostwin_md = ""
+    if host_rows:
+        hostwin_md = """
+### Later-host supplementary windows (tools/run_host_window.py)
+
+Re-measurements of the amortized ladder + executor-JVM pairs on the
+host assigned to a LATER session, each as one interleaved window with
+the kernel ceiling probed in the same window (ratios within-window
+only; see the per-file loadavg fields for contention context):
+
+| window | docs | pair | raw eff | kernel hw ceiling | engine vs ceiling |
+|---|---|---|---|---|---|
+""" + "\n".join(host_rows) + "\n"
+
     r_nl = results[f"local[{nl}]"]
     r_nosalt = results[f"local[{nl}]-nosalt"]
     r_split16 = results[f"local[{nl}]-split16"]
@@ -741,7 +776,7 @@ in both directions and its layout decision in both directions), and
 kernel hardware droop (the bare-kernel ceiling column — near-flat
 on an idle box).
 
-{amort_md}{submit_md}
+{amort_md}{hostwin_md}{submit_md}
 ## Skew & layout ablations (explicit skew handling evidence)
 
 All at local[{nl}] on the same corpus; "sorted" = adversarial layout
