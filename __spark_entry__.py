@@ -297,7 +297,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_banded_pairs": lambda s, d: dedup.jaccard_banded_pairs(
         _t(s, d, "documents")
     ),
-    "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
+    # closing-r5 rotation: dsir_weights (DSIR importance-weighted data
+    # selection, Xie et al. 2023 — a NEW family face: hashed-feature
+    # target/raw distribution-ratio scoring) gets its first driver
+    # row; knn_cosine_topk (the exact-kNN yardstick, driver-gated
+    # r1-r4) rotates below — the similarity family keeps four gated
+    # rows (knn_cosine_ivf, embedding_near_dup, knn_cosine_ivf_probe2,
+    # ivf_kmeans_recall)
+    "dsir_weights": lambda s, d: corpus.dsir_weights(
+        _t(s, d, "documents"),
+        corpus.dsir_target_split(_t(s, d, "documents")),
+    ),
     "knn_cosine_ivf": lambda s, d: similarity.knn_cosine_ivf(_t(s, d, "embeddings")),
     "embedding_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
         _t(s, d, "embeddings")
@@ -391,7 +401,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # approx_distinct_check down (the sketch family stays gated via
     # approx_percentile_check); final r5 rotation promotes
     # bpe_pack_plan over seq_pack_plan (a strict content superset:
-    # identical _pack_from_counts scan, counts from BPE segmentation).
+    # identical _pack_from_counts scan, counts from BPE segmentation);
+    # closing r5 gates dsir_weights (new selection face), rotating
+    # knn_cosine_topk down after four straight green driver rows.
+    "knn_cosine_topk": lambda s, d: similarity.knn_cosine_topk(_t(s, d, "embeddings")),
     "ocr_extract_heavy_path": _q_extract_heavy_path,
     "approx_distinct_check": lambda s, d: textstats.distinct_token_check(
         _t(s, d, "documents")
@@ -1357,6 +1370,54 @@ ORACLES: dict[str, str] = {
                round(CAST(s_nano AS DOUBLE) / denom, 6) AS q,
                round((CAST(s_nano AS DOUBLE) / denom) / p, 6) AS sample_rate
         FROM s, d
+    """,
+    # DSIR importance weights: identical hashed-feature stream (md5
+    # buckets — DuckDB's ('0x'||hex)::BIGINT equals Spark's
+    # conv(hex,16,10)), identical add-k smoothing, and the same
+    # micro-nat quantization before the per-doc BIGINT sum
+    "dsir_weights": f"""
+        WITH ws AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS w
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 unnest(list_concat(w,
+                     list_transform(range(1, greatest(len(w), 1)),
+                                    i -> w[i] || ' ' || w[i + 1]))) AS f
+          FROM ws),
+        fb AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(f), 1, 14))::BIGINT
+                     % {corpus.DSIR_BUCKETS} AS b
+          FROM feats),
+        tgt AS (
+          SELECT doc_id FROM documents
+          WHERE substr(md5('dsir-t:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                < '4'),
+        cq AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
+        cp AS (SELECT b, count(*) AS cp
+               FROM fb JOIN tgt USING (doc_id) GROUP BY b),
+        nq AS (SELECT count(*) AS nq FROM fb),
+        np AS (SELECT count(*) AS np FROM fb JOIN tgt USING (doc_id)),
+        ratio AS (
+          SELECT b,
+                 CAST(round((ln((coalesce(cp, 0) + {corpus.DSIR_K})
+                                / (np + {corpus.DSIR_K}
+                                   * {corpus.DSIR_BUCKETS}))
+                             - ln((cq + {corpus.DSIR_K})
+                                  / (nq + {corpus.DSIR_K}
+                                     * {corpus.DSIR_BUCKETS}))) * 1e6,
+                            0) AS BIGINT) AS lr
+          FROM cq LEFT JOIN cp USING (b), nq, np),
+        scored AS (
+          SELECT doc_id, count(*) AS n_feats,
+                 round(sum(lr) / 1e6, 6) AS logw
+          FROM fb JOIN ratio USING (b) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_feats, 0) AS n_feats,
+               s.logw AS logw
+        FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
     # bigram LM: identical add-k model and micro-nat quantization; the
     # per-doc sum is over BIGINTs so engine summation order is moot

@@ -40,6 +40,7 @@ DEFAULT_QUERIES = [
     "bpe_pair_counts",
     "bpe_pack_plan",
     "domain_mix_weights",
+    "dsir_weights",
     "bigram_lm_scores",
     "stopword_fraction",
     "straddle_prune",

@@ -592,3 +592,127 @@ def domain_mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
             ).alias("sample_rate"),
         )
     )
+
+
+# -- importance-weighted data selection (DSIR) -------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_K = 0.5
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """Explode documents into the DSIR hashed-feature stream: every
+    word unigram and word bigram, mapped to a bucket id in
+    ``[0, DSIR_BUCKETS)`` via the first 14 hex chars of md5 (56 bits,
+    sign-safe in a BIGINT; md5 so the DuckDB oracle hashes
+    identically — ``('0x' || hex)::BIGINT`` on that side,
+    ``conv(hex, 16, 10)`` here). The token array is let-bound via the
+    transform-over-singleton trick (see ``_doc_lines``) and the
+    bigram array comes from ``zip_with`` over shifted slices — NOT
+    ``sequence(1, size - 1)``, which descends for empty docs."""
+    feats = F.expr(
+        """transform(array(filter(split(text, ' '), x -> x <> '')), ws ->
+             concat(ws,
+               zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+                        slice(ws, 2, greatest(size(ws) - 1, 0)),
+                        (a, b) -> concat(a, ' ', b))))[0]"""
+    )
+    return _spread(docs).select(
+        "doc_id", F.explode(feats).alias("f")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.expr("cast(conv(substring(md5(f), 1, 14), 16, 10) as bigint)"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    k: float = DSIR_K,
+) -> DataFrame:
+    """DSIR-style importance weighting for target-distribution data
+    selection (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): score every raw document by how much
+    more likely its hashed n-gram features are under the TARGET
+    distribution than under the raw-corpus distribution,
+
+        logw(x) = sum_f [ log p_hat(b(f)) - log q_hat(b(f)) ],
+
+    where f ranges over the document's word unigrams and bigrams,
+    b(f) is a ``buckets``-way hash, and p_hat / q_hat are add-k
+    smoothed bucket distributions fit on ``target`` / ``docs``.
+    Selection is a trivial downstream ``ORDER BY logw DESC LIMIT n``
+    (or Gumbel-noised resampling) over this output.
+
+    Shape at scale: both distributions are ONE map-side-partial
+    aggregate each, collapsing the corpus to <= ``buckets`` rows
+    before any exchange; the per-bucket log-ratio table (<= 4096
+    rows) is explicitly broadcast back onto the feature stream, so
+    scoring is map-only plus a single groupBy(doc_id). No feature
+    text ever crosses an exchange — only (doc_id, bucket) pairs.
+    Determinism: each bucket's log-ratio is quantized to micro-nats
+    (BIGINT) before the per-doc sum (the ``bigram_lm_scores``
+    discipline), so logw never depends on float summation order.
+
+    Returns (doc_id, n_feats, logw) for every raw document; logw is
+    NULL for empty documents (no feature evidence), and identically 0
+    when ``target`` equals ``docs`` (the ratios cancel exactly)."""
+    raw = _dsir_features(docs)
+    tgt = _dsir_features(target)
+    cq = raw.groupBy("b").agg(F.count("*").alias("cq"))
+    cp = tgt.groupBy("b").agg(F.count("*").alias("cp"))
+    nq = raw.agg(F.count("*").alias("nq"))
+    np_ = tgt.agg(F.count("*").alias("np"))
+    kb = F.lit(float(k) * buckets)
+    lr = F.round(
+        (
+            F.log((F.coalesce("cp", F.lit(0)) + F.lit(float(k)))
+                  / (F.coalesce("np", F.lit(0)) + kb))
+            - F.log((F.col("cq") + F.lit(float(k))) / (F.col("nq") + kb))
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    ratio = (
+        cq.join(cp, "b", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select("b", lr.alias("lr"))
+    )
+    scored = (
+        raw.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr") / 1e6, 6).alias("logw"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "logw",
+        )
+    )
+
+
+def dsir_target_split(docs: DataFrame, prefix_lt: str = "4") -> DataFrame:
+    """Deterministic pseudo-random target split for the gated
+    ``dsir_weights`` query: a doc lands in the target iff the first
+    hex char of ``md5('dsir-t:' || doc_id)`` sorts below
+    ``prefix_lt`` (default '4' = a 1/4 sample). Content-addressed
+    like ``stratified_sample`` — map-only, reproducible at any
+    cluster size. A real run passes a genuine target corpus (the
+    downstream eval/domain set) instead."""
+    coin = F.substring(
+        F.md5(F.concat(F.lit("dsir-t:"), F.col("doc_id").cast("string"))),
+        1,
+        1,
+    )
+    return docs.where(coin < F.lit(prefix_lt))

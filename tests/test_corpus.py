@@ -533,3 +533,118 @@ def test_domain_mix_weights_partition_invariant(spark):
         map(tuple, corpus.domain_mix_weights(df.repartition(7)).collect())
     )
     assert base == repart
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def _dsir_ref(rows, target_ids, buckets=corpus.DSIR_BUCKETS, k=corpus.DSIR_K):
+    """Sequential reference: hashed unigram+bigram buckets, add-k
+    smoothed target/raw distributions, per-doc micro-nat-quantized
+    log-ratio sum — the operator's docstring contract, in 25 lines."""
+    import decimal
+    import hashlib
+    import math
+    from collections import Counter
+
+    def feats(text):
+        ws = [x for x in text.split(" ") if x != ""]
+        fs = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:14], 16) % buckets
+            for f in fs
+        ]
+
+    per_doc = {doc_id: feats(text) for doc_id, text, _, _ in rows}
+    cq, cp = Counter(), Counter()
+    for doc_id, fs in per_doc.items():
+        cq.update(fs)
+        if doc_id in target_ids:
+            cp.update(fs)
+    nq, np_ = sum(cq.values()), sum(cp.values())
+
+    def lr(b):
+        v = (
+            math.log((cp.get(b, 0) + k) / (np_ + k * buckets))
+            - math.log((cq[b] + k) / (nq + k * buckets))
+        ) * 1e6
+        return int(
+            decimal.Decimal(v).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    out = {}
+    for doc_id, fs in per_doc.items():
+        out[doc_id] = (
+            len(fs),
+            round(sum(lr(b) for b in fs) / 1e6, 6) if fs else None,
+        )
+    return out
+
+
+def test_dsir_weights_match_sequential_reference(spark):
+    rows = [
+        (1, "the quick brown fox", "en", "A"),
+        (2, "the quick quick fox", "en", "A"),
+        (3, "lorem ipsum dolor sit amet", "en", "B"),
+        (4, "the slow brown dog", "en", "B"),
+        (5, "completely different words here", "en", "B"),
+    ]
+    df = _docs(spark, rows)
+    target = df.where("doc_id <= 2")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in corpus.dsir_weights(df, target).collect()
+    }
+    want = _dsir_ref(rows, {1, 2})
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-9)
+    # docs sharing the target's vocabulary score above the outliers
+    assert got[1][1] > got[3][1] and got[2][1] > got[5][1]
+
+
+def test_dsir_weights_target_equal_to_corpus_is_zero(spark):
+    # p_hat == q_hat bucket-for-bucket -> every log-ratio is exactly 0
+    df = _docs(
+        spark,
+        [(i, f"w{i} w{i % 3} common", "en", "s") for i in range(12)],
+    )
+    for r in corpus.dsir_weights(df, df).collect():
+        assert r["logw"] == 0.0
+
+
+def test_dsir_weights_empty_doc_has_null_weight(spark):
+    df = _docs(
+        spark, [(1, "some words here", "en", "s"), (2, "", "en", "s")]
+    )
+    out = {r["doc_id"]: r for r in corpus.dsir_weights(df, df).collect()}
+    assert out[2]["n_feats"] == 0 and out[2]["logw"] is None
+    assert out[1]["n_feats"] == 5 and out[1]["logw"] == 0.0
+
+
+def test_dsir_weights_partition_invariant(spark):
+    df = _docs(
+        spark,
+        [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}", "en", "s") for i in range(60)],
+    )
+    target = corpus.dsir_target_split(df)
+    base = sorted(map(tuple, corpus.dsir_weights(df, target).collect()))
+    repart = sorted(
+        map(
+            tuple,
+            corpus.dsir_weights(
+                df.repartition(11), target.coalesce(1)
+            ).collect(),
+        )
+    )
+    assert base == repart
+
+
+def test_dsir_target_split_is_deterministic_quarter(spark):
+    df = _docs(spark, [(i, "x", "en", "s") for i in range(400)])
+    a = {r["doc_id"] for r in corpus.dsir_target_split(df).collect()}
+    b = {r["doc_id"] for r in corpus.dsir_target_split(df).collect()}
+    assert a == b
+    # md5 first hex char < '4' is a 4/16 coin
+    assert 0.15 < len(a) / 400 < 0.35

@@ -117,9 +117,14 @@ GATED_REQUIRED = {
     "dedup_exact", "minhash_banded_pairs", "minhash_banded_recall",
     "simhash_hamming_pairs", "dedup_corpus",
     "banded_pairs_bucket_cap", "jaccard_banded_pairs",
-    # similarity / ANN
-    "knn_cosine_topk", "knn_cosine_ivf", "embedding_near_dup",
+    # similarity / ANN — closing-r5 rotation: knn_cosine_topk (the
+    # exact-kNN yardstick, four straight green driver rows) moved
+    # below the line to arm dsir_weights' first row; the family keeps
+    # the four production-shaped gates listed here
+    "knn_cosine_ivf", "embedding_near_dup",
     "knn_cosine_ivf_probe2", "ivf_kmeans_recall",
+    # importance-weighted data selection (new closing-r5 family face)
+    "dsir_weights",
     # multimodal
     "media_catalog", "ocr_media_decode_stats", "ocr_media_frame_sample",
     # evaluation / geometry

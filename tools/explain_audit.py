@@ -121,6 +121,16 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # vocab total is a broadcast single row; scoring joins stay equi
     ("bigram_lm_scores", ["partial_count"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # DSIR: both bucket distributions collapse via map-side partial
+    # counts to <= 4096 rows; the log-ratio table joins back onto the
+    # feature stream as an explicit broadcast hash join (a sort-merge
+    # there would shuffle every feature occurrence — REQUIREd; the
+    # final docs->scored left join is corpus x corpus on doc_id, where
+    # a sort-merge IS the right plan at scale, so SMJ is not globally
+    # forbidden); the two totals are broadcast single rows (the
+    # accepted two-tiny-aggregates pattern)
+    ("dsir_weights", ["partial_count", "BroadcastHashJoin"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
