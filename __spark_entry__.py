@@ -465,6 +465,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": lambda s, d: corpus.pii_scrub(
         _pii_docs(_t(s, d, "documents"))
     ),
+    # the DSIR selection step (Gumbel-perturbed threshold resampling)
+    # — below the line with local parity; its scoring face
+    # dsir_weights carries the family's driver row
+    "dsir_resample": lambda s, d: corpus.dsir_resample(
+        _t(s, d, "documents"),
+        corpus.dsir_target_split(_t(s, d, "documents")),
+    ),
     # late-r5 rotation: demoted for bpe_pair_counts (new family); the
     # TPC-H family stays gated via pricing_summary, top_revenue_orders,
     # event_rollup and local_supplier_volume, and this entry keeps its
@@ -931,6 +938,55 @@ _CORPUS_PIPELINE_SQL = f"""
           AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
 """
 
+# shared by the dsir_weights and dsir_resample oracles: identical
+# hashed-feature stream (md5 buckets — DuckDB's ('0x'||hex)::BIGINT
+# equals Spark's conv(hex,16,10)), identical add-k smoothing, and the
+# same micro-nat quantization before the per-doc BIGINT sum
+_DSIR_WEIGHTS_SQL = f"""
+        WITH ws AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS w
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 unnest(list_concat(w,
+                     list_transform(range(1, greatest(len(w), 1)),
+                                    i -> w[i] || ' ' || w[i + 1]))) AS f
+          FROM ws),
+        fb AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(f), 1, 14))::BIGINT
+                     % {corpus.DSIR_BUCKETS} AS b
+          FROM feats),
+        tgt AS (
+          SELECT doc_id FROM documents
+          WHERE substr(md5('dsir-t:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                < '4'),
+        cq AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
+        cp AS (SELECT b, count(*) AS cp
+               FROM fb JOIN tgt USING (doc_id) GROUP BY b),
+        nq AS (SELECT count(*) AS nq FROM fb),
+        np AS (SELECT count(*) AS np FROM fb JOIN tgt USING (doc_id)),
+        ratio AS (
+          SELECT b,
+                 CAST(round((ln((coalesce(cp, 0) + {corpus.DSIR_K})
+                                / (np + {corpus.DSIR_K}
+                                   * {corpus.DSIR_BUCKETS}))
+                             - ln((cq + {corpus.DSIR_K})
+                                  / (nq + {corpus.DSIR_K}
+                                     * {corpus.DSIR_BUCKETS}))) * 1e6,
+                            0) AS BIGINT) AS lr
+          FROM cq LEFT JOIN cp USING (b), nq, np),
+        scored AS (
+          SELECT doc_id, count(*) AS n_feats,
+                 round(sum(lr) / 1e6, 6) AS logw
+          FROM fb JOIN ratio USING (b) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_feats, 0) AS n_feats,
+               s.logw AS logw
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
 ORACLES: dict[str, str] = {
     "ocr_extract_invariants": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs_in,
@@ -1371,53 +1427,23 @@ ORACLES: dict[str, str] = {
                round((CAST(s_nano AS DOUBLE) / denom) / p, 6) AS sample_rate
         FROM s, d
     """,
-    # DSIR importance weights: identical hashed-feature stream (md5
-    # buckets — DuckDB's ('0x'||hex)::BIGINT equals Spark's
-    # conv(hex,16,10)), identical add-k smoothing, and the same
-    # micro-nat quantization before the per-doc BIGINT sum
-    "dsir_weights": f"""
-        WITH ws AS (
-          SELECT doc_id, list_filter(string_split(text, ' '),
-                                     x -> x <> '') AS w
-          FROM documents),
-        feats AS (
-          SELECT doc_id,
-                 unnest(list_concat(w,
-                     list_transform(range(1, greatest(len(w), 1)),
-                                    i -> w[i] || ' ' || w[i + 1]))) AS f
-          FROM ws),
-        fb AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(f), 1, 14))::BIGINT
-                     % {corpus.DSIR_BUCKETS} AS b
-          FROM feats),
-        tgt AS (
-          SELECT doc_id FROM documents
-          WHERE substr(md5('dsir-t:' || CAST(doc_id AS VARCHAR)), 1, 1)
-                < '4'),
-        cq AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
-        cp AS (SELECT b, count(*) AS cp
-               FROM fb JOIN tgt USING (doc_id) GROUP BY b),
-        nq AS (SELECT count(*) AS nq FROM fb),
-        np AS (SELECT count(*) AS np FROM fb JOIN tgt USING (doc_id)),
-        ratio AS (
-          SELECT b,
-                 CAST(round((ln((coalesce(cp, 0) + {corpus.DSIR_K})
-                                / (np + {corpus.DSIR_K}
-                                   * {corpus.DSIR_BUCKETS}))
-                             - ln((cq + {corpus.DSIR_K})
-                                  / (nq + {corpus.DSIR_K}
-                                     * {corpus.DSIR_BUCKETS}))) * 1e6,
-                            0) AS BIGINT) AS lr
-          FROM cq LEFT JOIN cp USING (b), nq, np),
-        scored AS (
-          SELECT doc_id, count(*) AS n_feats,
-                 round(sum(lr) / 1e6, 6) AS logw
-          FROM fb JOIN ratio USING (b) GROUP BY doc_id)
-        SELECT d.doc_id,
-               coalesce(s.n_feats, 0) AS n_feats,
-               s.logw AS logw
-        FROM documents d LEFT JOIN scored s USING (doc_id)
+    # DSIR importance weights / resampling: the shared scoring SQL is
+    # _DSIR_WEIGHTS_SQL above; the resample oracle adds the
+    # deterministic per-(seed, doc_id) Gumbel draw and the threshold
+    "dsir_weights": _DSIR_WEIGHTS_SQL,
+    "dsir_resample": f"""
+        WITH w AS ({_DSIR_WEIGHTS_SQL}),
+        g AS (
+          SELECT doc_id, n_feats, logw,
+                 round(logw
+                       + (-ln(-ln(
+                           (('0x' || substr(md5('dsir-g:0:'
+                                || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                            + 0.5) / {float(2 ** 56)}))), 6) AS score
+          FROM w)
+        SELECT doc_id, n_feats, logw, score,
+               coalesce(score > -11.0, FALSE) AS selected
+        FROM g
     """,
     # bigram LM: identical add-k model and micro-nat quantization; the
     # per-doc sum is over BIGINTs so engine summation order is moot

@@ -716,3 +716,52 @@ def dsir_target_split(docs: DataFrame, prefix_lt: str = "4") -> DataFrame:
         1,
     )
     return docs.where(coin < F.lit(prefix_lt))
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    threshold: float = -11.0,
+    seed: int = 0,
+    buckets: int = DSIR_BUCKETS,
+    k: float = DSIR_K,
+) -> DataFrame:
+    """The selection step of DSIR: Gumbel-perturbed thresholding over
+    ``dsir_weights`` scores. The paper resamples the top-n documents
+    by ``logw + g`` with i.i.d. Gumbel(0, 1) noise ``g`` — equivalent
+    to sampling without replacement proportional to the importance
+    weights, so near-clones of the target don't crowd out coverage.
+    Here ``g`` is derived deterministically per (seed, doc_id):
+    u = (md5-56-bit + 0.5) / 2^56 in (0, 1), g = -ln(-ln(u)) — the
+    content-addressed-coin discipline of ``stratified_sample``, so
+    the selection is reproducible at any cluster size and a re-run
+    with a new seed draws an independent noise vector.
+
+    Selection is ``score > threshold`` — a MAP-ONLY pass over the
+    scored relation, not a global top-n sort: at 10^12 documents a
+    production run picks the threshold once from the score
+    distribution (``approx_percentile(score, 1 - keep_frac)`` on a
+    sample, or this module's two-phase rank machinery for an exact
+    cut) and then selects at scan speed. Returns every raw document
+    as (doc_id, n_feats, logw, score, selected); score is NULL and
+    selected false for empty documents (no feature evidence)."""
+    w = dsir_weights(docs, target, buckets=buckets, k=k)
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('dsir-g:', "
+            f"'{int(seed)}', ':', cast(doc_id as string))), 1, 14), "
+            "16, 10) as bigint)"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 56))
+    g = -F.log(-F.log(u))
+    score = F.round(F.col("logw") + g, 6)
+    return w.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        score.alias("score"),
+        F.coalesce(score > F.lit(float(threshold)), F.lit(False)).alias(
+            "selected"
+        ),
+    )

@@ -648,3 +648,46 @@ def test_dsir_target_split_is_deterministic_quarter(spark):
     assert a == b
     # md5 first hex char < '4' is a 4/16 coin
     assert 0.15 < len(a) / 400 < 0.35
+
+
+def test_dsir_resample_gumbel_and_threshold_match_reference(spark):
+    import hashlib
+    import math
+
+    rows = [(i, f"w{i % 5} w{i % 3} w{i % 2}", "en", "s") for i in range(30)]
+    df = _docs(spark, rows)
+    target = df.where("doc_id < 10")
+    out = {r["doc_id"]: r for r in corpus.dsir_resample(
+        df, target, threshold=-1.0
+    ).collect()}
+    logw = {r["doc_id"]: r["logw"] for r in corpus.dsir_weights(
+        df, target
+    ).collect()}
+    for d, lw in logw.items():
+        v = int(hashlib.md5(f"dsir-g:0:{d}".encode()).hexdigest()[:14], 16)
+        g = -math.log(-math.log((v + 0.5) / 2 ** 56))
+        assert out[d]["score"] == pytest.approx(round(lw + g, 6), abs=1e-9)
+        assert out[d]["selected"] == (out[d]["score"] > -1.0)
+
+
+def test_dsir_resample_is_deterministic_and_seed_sensitive(spark):
+    df = _docs(
+        spark, [(i, f"a{i % 4} b{i % 6}", "en", "s") for i in range(40)]
+    )
+    t = corpus.dsir_target_split(df)
+    a = sorted(map(tuple, corpus.dsir_resample(df, t).collect()))
+    b = sorted(map(tuple, corpus.dsir_resample(df, t).collect()))
+    assert a == b
+    c = sorted(map(tuple, corpus.dsir_resample(df, t, seed=1).collect()))
+    assert a != c  # independent noise vector
+    # the logw face is seed-independent; only the gumbel draw moves
+    assert [r[:3] for r in a] == [r[:3] for r in c]
+
+
+def test_dsir_resample_empty_doc_never_selected(spark):
+    df = _docs(spark, [(1, "x y z", "en", "s"), (2, "", "en", "s")])
+    out = {r["doc_id"]: r for r in corpus.dsir_resample(
+        df, df, threshold=-1e9
+    ).collect()}
+    assert out[2]["score"] is None and out[2]["selected"] is False
+    assert out[1]["selected"] is True

@@ -131,6 +131,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # accepted two-tiny-aggregates pattern)
     ("dsir_weights", ["partial_count", "BroadcastHashJoin"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # the selection face adds only a projection (deterministic gumbel
+    # draw + threshold) over the scored relation — same join/aggregate
+    # contract as the scoring face, nothing new may appear
+    ("dsir_resample", ["partial_count", "BroadcastHashJoin"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
