@@ -517,6 +517,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "embeddings"),
         codebook=similarity.kmeans_codebook(_t(s, d, "embeddings")),
     ),
+    # cluster-balanced selection (MetaCLIP/DataComp curation): cap
+    # every kmeans cell at 40 members via a content-addressed md5
+    # rank — below the line with local parity; the assignment face
+    # carries the family's machinery (ivf_kmeans_assign et al.)
+    "cluster_balanced_sample": lambda s, d: similarity.cluster_balanced_sample(
+        _t(s, d, "embeddings")
+    ),
 }
 
 
@@ -1753,6 +1760,20 @@ ORACLES: dict[str, str] = {
     "ivf_kmeans_assign": f"""
         WITH {_DK_KMEANS_CTE}
         SELECT vec_id, cell_id FROM kassign
+    """,
+    # cluster-balanced selection: the same kassign relation capped at
+    # 40 members per cell by the content-addressed md5 rank
+    "cluster_balanced_sample": f"""
+        WITH {_DK_KMEANS_CTE},
+        r AS (
+          SELECT vec_id, cell_id,
+                 row_number() OVER (
+                     PARTITION BY cell_id
+                     ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)),
+                              vec_id) AS cell_rank
+          FROM kassign)
+        SELECT vec_id, cell_id, cell_rank, cell_rank <= 40 AS kept
+        FROM r
     """,
     "ivf_kmeans_recall": f"""
         WITH {_DK_KMEANS_CTE},

@@ -362,3 +362,45 @@ def semdedup_corpus(
         .select(F.col("doc_id").alias("vec_id"))
     )
     return emb.join(drop, "vec_id", "left_anti")
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    cap: int = 40,
+    stride: int = CENTROID_STRIDE,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced selection (the MetaCLIP / DataComp curation
+    move): assign every embedding to its nearest codebook cell, then
+    keep at most ``cap`` vectors per cell — flattening over-crowded
+    head clusters (near-duplicate web boilerplate) while preserving
+    every tail cluster in full, so the selected corpus covers the
+    embedding space instead of its mode.
+
+    Within a cell the kept ``cap`` are chosen by a content-addressed
+    md5 rank (key = md5('cbs:' || vec_id), vec_id tie-break) — a
+    deterministic uniform draw, reproducible at any cluster size and
+    replayable by the DuckDB oracle; a re-run with a smaller ``cap``
+    keeps a strict subset. The default codebook is the Lloyd-refined
+    ``kmeans_codebook`` (broadcast, one corpus pass, map-side argmax
+    — no corpus-sized shuffle in assignment).
+
+    The per-cell rank is a window sort partitioned by cell_id — the
+    ``topk_per_group`` shape. Cells are ~corpus/stride members by
+    construction; a degenerate mega-cell (one centroid swallowing the
+    corpus) is the codebook's pathology to fix, and AQE's skew
+    handling splits the sort partition in the meantime. Returns every
+    vector as (vec_id, cell_id, cell_rank, kept)."""
+    cents = codebook if codebook is not None else kmeans_codebook(emb)
+    assign = ivf_assign(emb, stride, codebook=cents)
+    key = F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell_id").orderBy(key.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("cell_rank", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell_id",
+            "cell_rank",
+            (F.col("cell_rank") <= F.lit(int(cap))).alias("kept"),
+        )
+    )

@@ -142,3 +142,43 @@ def test_semdedup_partition_invariant(spark):
         ).collect()
     )
     assert base == repart == [0, 2, 5]
+
+
+def test_cluster_balanced_sample_caps_every_cell(clustered):
+    out = similarity.cluster_balanced_sample(clustered, cap=10).collect()
+    assert len(out) == N  # every vector is returned, kept or not
+    per_cell: dict[int, list] = {}
+    for r in out:
+        per_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, rows in per_cell.items():
+        kept = [r for r in rows if r["kept"]]
+        assert len(kept) == min(10, len(rows))
+        # ranks within a cell are 1..|cell| with no gaps
+        assert sorted(r["cell_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r["cell_rank"] <= 10 for r in kept)
+
+
+def test_cluster_balanced_sample_smaller_cap_is_subset(clustered):
+    keep = lambda cap: {
+        r["vec_id"]
+        for r in similarity.cluster_balanced_sample(clustered, cap=cap).collect()
+        if r["kept"]
+    }
+    assert keep(5) < keep(25)
+
+
+def test_cluster_balanced_sample_partition_invariant(clustered):
+    base = sorted(
+        map(tuple, similarity.cluster_balanced_sample(clustered, cap=7).collect())
+    )
+    repart = sorted(
+        map(
+            tuple,
+            similarity.cluster_balanced_sample(
+                clustered.repartition(13), cap=7
+            ).collect(),
+        )
+    )
+    assert base == repart

@@ -136,6 +136,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # contract as the scoring face, nothing new may appear
     ("dsir_resample", ["partial_count", "BroadcastHashJoin"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # cluster-balanced selection: broadcast-codebook assignment with a
+    # map-side max_by argmax, then the topk_per_group window shape —
+    # the corpus never meets the codebook in a nested loop and no
+    # Python rows anywhere
+    ("cluster_balanced_sample", ["partial_max_by", "Window"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
