@@ -47,6 +47,7 @@ DEFAULT_QUERIES = [
     "eval_metrics",
     "knn_cosine_topk",
     "knn_cosine_ivf",
+    "cluster_balanced_sample",
     "semdedup_corpus",
     "media_catalog",
     "mutual_nearest_pair",
