@@ -472,6 +472,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents"),
         corpus.dsir_target_split(_t(s, d, "documents")),
     ),
+    # incremental cross-corpus dedup: every 4th doc plays the new
+    # crawl batch, the rest the immutable reference snapshot — below
+    # the line with local parity; the dedup family's driver rows are
+    # the self-dedup funnel (dedup_exact .. dedup_corpus)
+    "dedup_against_corpus": lambda s, d: dedup.dedup_against_corpus(
+        _t(s, d, "documents").where("doc_id % 4 = 0"),
+        _t(s, d, "documents").where("doc_id % 4 <> 0"),
+    ).select("doc_id", "lang", "source", "n_chars"),
     # late-r5 rotation: demoted for bpe_pair_counts (new family); the
     # TPC-H family stays gated via pricing_summary, top_revenue_orders,
     # event_rollup and local_supplier_volume, and this entry keeps its
@@ -1235,6 +1243,26 @@ ORACLES: dict[str, str] = {
     "minhash_band_keys": f"""
         WITH {_DK_BAND_KEYS_CTE}
         SELECT doc_id, band, band_key FROM bk
+    """,
+    # incremental cross-corpus dedup: the bk relation covers both
+    # sides (identical band keys per doc); a new-batch doc is dropped
+    # on an exact md5 hit or any shared band key with the reference
+    "dedup_against_corpus": f"""
+        WITH {_DK_BAND_KEYS_CTE},
+        nd AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        exact_drop AS (
+          SELECT doc_id FROM nd
+          WHERE md5(text) IN (SELECT md5(text) FROM documents
+                              WHERE doc_id % 4 <> 0)),
+        near_drop AS (
+          SELECT DISTINCT a.doc_id
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+        drops AS (SELECT doc_id FROM exact_drop
+                  UNION SELECT doc_id FROM near_drop)
+        SELECT doc_id, lang, source, n_chars FROM nd
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     "minhash_banded_pairs": f"""
         WITH {_DK_BAND_KEYS_CTE}

@@ -713,3 +713,45 @@ def contamination_check(docs: DataFrame, modulus: int = 20, n: int = DECON_N) ->
     return contamination_hits(
         docs.where(~is_bench), docs.where(is_bench), n=n
     )
+
+
+def dedup_against_corpus(new: DataFrame, ref: DataFrame) -> DataFrame:
+    """Incremental cross-corpus dedup — the 'new crawl vs the existing
+    snapshot' pass every periodic ingest needs: drop from ``new``
+    every document that exactly duplicates (md5 of text) or nearly
+    duplicates (shares >= 1 of the 16 minhash band keys with) any
+    document already in ``ref``. Unlike ``dedupped_corpus`` there is
+    no connected-components step: the reference side is immutable, so
+    membership against it is a pure semi-join question.
+
+    Scale shape: both sides reduce to sketch relations before any
+    join — 16-byte md5 fingerprints and the 16-rows/doc band-key
+    relation — so document text never crosses an exchange; in
+    production ``ref``'s sketches are the precomputed tables the
+    snapshot build already wrote (``minhash_band_keys`` output), and
+    this pass only computes sketches for the (small) new batch. The
+    membership checks are LEFT SEMI equi-joins (first match wins —
+    a boilerplate mega-bucket on the reference side cannot explode
+    the join the way a self-join's quadratic bucket does), and the
+    final drop is ONE left-anti join against the new batch, which is
+    scanned exactly once. Returns the surviving rows of ``new`` with
+    all original columns."""
+    ref_fp = _spread(ref).select(F.md5("text").alias("fp"))
+    exact_drop = (
+        _spread(new)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .join(ref_fp, "fp", "left_semi")
+        .select("doc_id")
+    )
+    near_drop = (
+        minhash_band_keys(new)
+        .join(
+            minhash_band_keys(ref).select("band", "band_key"),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    return new.join(
+        exact_drop.union(near_drop), "doc_id", "left_anti"
+    )

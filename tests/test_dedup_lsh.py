@@ -220,3 +220,54 @@ def test_contamination_oversized_split_falls_back(spark, docs):
     a = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in normal.collect()}
     b = {(r["doc_id"], r["n_contaminated_ngrams"]) for r in capped.collect()}
     assert a == b and a
+
+
+def test_dedup_against_corpus_drops_exact_and_near_hits(spark):
+    base = " ".join(f"tok{i % 17} word{i}" for i in range(40))
+    near = base + " trailing extra"          # high-Jaccard variant
+    fresh = " ".join(f"new{i} item{i * 7}" for i in range(40))
+    short = "tiny doc"                       # < SHINGLE words: exact-only
+    ref = spark.createDataFrame(
+        [(100, base), (101, short)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, base), (2, near), (3, fresh), (4, short), (5, "tiny other")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_against_corpus(new, ref).collect()
+    )
+    # 1 exact-dups ref, 2 shares bands with ref, 4 exact-dups the short
+    # ref doc; 3 is new content and 5 is short-but-different
+    assert kept == [3, 5]
+
+
+def test_dedup_against_corpus_clean_batch_is_identity(spark):
+    ref = spark.createDataFrame(
+        [(100, " ".join(f"r{i} s{i * 3}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, " ".join(f"n{i}x{j} m{j * i + 7}" for j in range(25)))
+         for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_against_corpus(new, ref).collect()
+    )
+    assert kept == [1, 2, 3, 4, 5]
+
+
+def test_dedup_against_corpus_partition_invariant(spark, docs):
+    new = docs.where("doc_id % 4 = 0")
+    ref = docs.where("doc_id % 4 <> 0")
+    base = sorted(
+        r["doc_id"] for r in dedup.dedup_against_corpus(new, ref).collect()
+    )
+    repart = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(
+            new.repartition(9), ref.coalesce(1)
+        ).collect()
+    )
+    assert base == repart

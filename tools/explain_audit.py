@@ -142,6 +142,13 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # Python rows anywhere
     ("cluster_balanced_sample", ["partial_max_by", "Window"],
      ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # incremental cross-corpus dedup: both membership checks are LEFT
+    # SEMI equi-joins over sketch relations (md5 fingerprints / band
+    # keys — text never crosses an exchange) and the drop lands as one
+    # LeftAnti against the new batch
+    ("dedup_against_corpus", ["LeftSemi", "LeftAnti"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
