@@ -30,6 +30,7 @@ DEFAULT_QUERIES = [
     "minhash_banded_pairs",
     "simhash_hamming_pairs",
     "dedup_corpus",
+    "dedup_against_corpus",
     "contamination_check",
     "line_dedup_stats",
     "dup_gram_stats",

@@ -665,8 +665,13 @@ def dsir_weights(
     tgt = _dsir_features(target)
     cq = raw.groupBy("b").agg(F.count("*").alias("cq"))
     cp = tgt.groupBy("b").agg(F.count("*").alias("cp"))
-    nq = raw.agg(F.count("*").alias("nq"))
-    np_ = tgt.agg(F.count("*").alias("np"))
+    # totals derive from the <= `buckets`-row count relations, NOT from
+    # re-aggregating the feature stream — the corpus-sized explode is
+    # evaluated once per distribution, not twice (DataFrame subtrees
+    # are re-executed per reference; an agg over the tiny relation is
+    # free). coalesce(0) covers an empty target (sum over no rows).
+    nq = cq.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("nq"))
+    np_ = cp.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))
     kb = F.lit(float(k) * buckets)
     lr = F.round(
         (
