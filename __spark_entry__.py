@@ -480,6 +480,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _t(s, d, "documents").where("doc_id % 4 = 0"),
         _t(s, d, "documents").where("doc_id % 4 <> 0"),
     ).select("doc_id", "lang", "source", "n_chars"),
+    # one-row corpus datasheet (release-notes summary) — below the
+    # line with local parity; every field is integer/exact arithmetic
+    "corpus_report": lambda s, d: corpus.corpus_report(
+        _t(s, d, "documents")
+    ),
     # late-r5 rotation: demoted for bpe_pair_counts (new family); the
     # TPC-H family stays gated via pricing_summary, top_revenue_orders,
     # event_rollup and local_supplier_volume, and this entry keeps its
@@ -1243,6 +1248,34 @@ ORACLES: dict[str, str] = {
     "minhash_band_keys": f"""
         WITH {_DK_BAND_KEYS_CTE}
         SELECT doc_id, band, band_key FROM bk
+    """,
+    # one-row corpus datasheet: integer/exact fields only, so the row
+    # hashes identically on both engines
+    "corpus_report": """
+        WITH t AS (
+          SELECT doc_id, text, lang, source,
+                 len(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS toks
+          FROM documents),
+        tot AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(len(text)) AS BIGINT) AS n_chars,
+                 count(DISTINCT lang) AS n_langs,
+                 count(DISTINCT source) AS n_sources,
+                 CAST(sum(CASE WHEN toks = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_empty_docs,
+                 CAST(min(toks) AS BIGINT) AS min_doc_tokens,
+                 CAST(max(toks) AS BIGINT) AS max_doc_tokens
+          FROM t),
+        dup AS (
+          SELECT coalesce(CAST(sum(CASE WHEN n >= 2 THEN n END)
+                               AS BIGINT), 0) AS n_exact_dup_docs,
+                 coalesce(CAST(sum(CASE WHEN n >= 2 THEN n - 1 END)
+                               AS BIGINT), 0) AS n_redundant_docs
+          FROM (SELECT md5(text) AS fp, count(*) AS n
+                FROM documents GROUP BY fp))
+        SELECT * FROM tot, dup
     """,
     # incremental cross-corpus dedup: the bk relation covers both
     # sides (identical band keys per doc); a new-batch doc is dropped

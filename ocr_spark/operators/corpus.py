@@ -770,3 +770,44 @@ def dsir_resample(
             "selected"
         ),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus datasheet (the release-notes summary a corpus
+    build publishes — Datasheets for Datasets, Gebru et al. 2021):
+    document/token/char totals, language and source cardinalities,
+    empty-document and exact-duplicate counts. Everything is integer
+    or exactly-derived arithmetic, so the row hashes identically on
+    any engine and partitioning.
+
+    Shape at scale: ONE map-side-partial aggregate over the corpus
+    for the totals (the exchange carries one partial row per map
+    partition), plus an md5-key duplicate subaggregate bounded by
+    DISTINCT fingerprints (the dedup_exact relation) — the corpus is
+    scanned twice, text never shuffles (16-byte keys only), and the
+    output is a single row."""
+    toks = F.expr("size(filter(split(text, ' '), x -> x <> ''))")
+    totals = _spread(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum((toks == 0).cast("long")).alias("n_empty_docs"),
+        F.min(toks).cast("long").alias("min_doc_tokens"),
+        F.max(toks).cast("long").alias("max_doc_tokens"),
+    )
+    dup = (
+        _spread(docs)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n") >= 2, F.col("n"))), F.lit(0)
+            ).alias("n_exact_dup_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") >= 2, F.col("n") - 1)), F.lit(0)
+            ).alias("n_redundant_docs"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(dup))

@@ -691,3 +691,40 @@ def test_dsir_resample_empty_doc_never_selected(spark):
     ).collect()}
     assert out[2]["score"] is None and out[2]["selected"] is False
     assert out[1]["selected"] is True
+
+
+def test_corpus_report_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s2"),     # exact dup of 1
+            (3, "a b c", "zh", "s1"),     # exact dup of 1 and 2
+            (4, "", "en", "s1"),          # empty
+            (5, "one two three four", "fr", "s3"),
+        ],
+    )
+    r = corpus.corpus_report(df).collect()[0].asDict()
+    assert r == {
+        "n_docs": 5,
+        "n_tokens": 3 + 3 + 3 + 0 + 4,
+        "n_chars": 5 + 5 + 5 + 0 + 18,
+        "n_langs": 3,
+        "n_sources": 3,
+        "n_empty_docs": 1,
+        "min_doc_tokens": 0,
+        "max_doc_tokens": 4,
+        "n_exact_dup_docs": 3,
+        "n_redundant_docs": 2,
+    }
+
+
+def test_corpus_report_partition_invariant(spark):
+    df = _docs(
+        spark,
+        [(i, f"w{i % 9} x{i % 4}", "en", f"s{i % 5}") for i in range(50)],
+    )
+    assert (
+        corpus.corpus_report(df).collect()
+        == corpus.corpus_report(df.repartition(13)).collect()
+    )

@@ -149,6 +149,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("dedup_against_corpus", ["LeftSemi", "LeftAnti"],
      ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # one-row datasheet: map-side partial totals + the md5-key dup
+    # subaggregate; the two single-row sides meet in the accepted
+    # broadcast single-row cross (never a true cartesian over data)
+    ("corpus_report", ["partial_count"],
+     ["BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
