@@ -41,6 +41,7 @@ DEFAULT_QUERIES = [
     "bpe_pair_counts",
     "bpe_pack_plan",
     "domain_mix_weights",
+    "corpus_report",
     "dsir_weights",
     "bigram_lm_scores",
     "stopword_fraction",
