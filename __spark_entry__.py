@@ -485,6 +485,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": lambda s, d: corpus.corpus_report(
         _t(s, d, "documents")
     ),
+    # the mixing plan executed (planning face: domain_mix_weights) —
+    # below the line with local parity
+    "apply_domain_mix": lambda s, d: corpus.apply_domain_mix(
+        _t(s, d, "documents")
+    ),
     # late-r5 rotation: demoted for bpe_pair_counts (new family); the
     # TPC-H family stays gated via pricing_summary, top_revenue_orders,
     # event_rollup and local_supplier_volume, and this entry keeps its
@@ -956,6 +961,26 @@ _CORPUS_PIPELINE_SQL = f"""
         JOIN q USING (doc_id)
         WHERE f.doc_id = k.keeper
           AND CASE q.lang {_SAMPLE_CASE} ELSE TRUE END
+"""
+
+# shared by the domain_mix_weights and apply_domain_mix oracles
+_DOMAIN_MIX_SQL = """
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        s AS (SELECT per.*,
+                     CAST(per.n_tokens AS DOUBLE) / tot.tot AS p,
+                     CAST(round(pow(CAST(per.n_tokens AS DOUBLE) / tot.tot,
+                                    0.3) * 1e9, 0) AS BIGINT) AS s_nano
+              FROM per, tot),
+        d AS (SELECT CAST(sum(s_nano) AS BIGINT) AS denom FROM s)
+        SELECT source, n_docs, n_tokens, round(p, 6) AS p,
+               round(CAST(s_nano AS DOUBLE) / denom, 6) AS q,
+               round((CAST(s_nano AS DOUBLE) / denom) / p, 6) AS sample_rate
+        FROM s, d
 """
 
 # shared by the dsir_weights and dsir_resample oracles: identical
@@ -1477,23 +1502,20 @@ ORACLES: dict[str, str] = {
     # temperature mixing: the same nano-quantized pow pipeline; DuckDB
     # sums BIGINTs to HUGEINT, so the denominator is cast back before
     # the divisions
-    "domain_mix_weights": """
-        WITH per AS (
-          SELECT source, count(*) AS n_docs,
-                 CAST(sum(len(list_filter(string_split(text, ' '),
-                                          x -> x <> ''))) AS BIGINT) AS n_tokens
-          FROM documents GROUP BY source),
-        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
-        s AS (SELECT per.*,
-                     CAST(per.n_tokens AS DOUBLE) / tot.tot AS p,
-                     CAST(round(pow(CAST(per.n_tokens AS DOUBLE) / tot.tot,
-                                    0.3) * 1e9, 0) AS BIGINT) AS s_nano
-              FROM per, tot),
-        d AS (SELECT CAST(sum(s_nano) AS BIGINT) AS denom FROM s)
-        SELECT source, n_docs, n_tokens, round(p, 6) AS p,
-               round(CAST(s_nano AS DOUBLE) / denom, 6) AS q,
-               round((CAST(s_nano AS DOUBLE) / denom) / p, 6) AS sample_rate
-        FROM s, d
+    "domain_mix_weights": _DOMAIN_MIX_SQL,
+    # the mixing plan EXECUTED: per-source keep-probability applied
+    # with the content-addressed md5 coin; floor() on both engines
+    # (a bare double->BIGINT cast truncates in Spark but rounds in
+    # DuckDB)
+    "apply_domain_mix": f"""
+        WITH mix AS ({_DOMAIN_MIX_SQL})
+        SELECT d.doc_id, d.lang, d.source,
+               m.sample_rate,
+               round(greatest(m.sample_rate, 1.0), 6) AS repeat_factor
+        FROM documents d JOIN mix m ON d.source = m.source
+        WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8))::BIGINT
+              < floor(least(m.sample_rate, 1.0) * 4294967296.0)
     """,
     # DSIR importance weights / resampling: the shared scoring SQL is
     # _DSIR_WEIGHTS_SQL above; the resample oracle adds the

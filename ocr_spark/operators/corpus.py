@@ -811,3 +811,42 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         )
     )
     return totals.crossJoin(F.broadcast(dup))
+
+
+def apply_domain_mix(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Execute the ``domain_mix_weights`` plan (the planning/execution
+    split of dedup_summary vs dedupped_corpus): downsample each source
+    by its keep-probability ``min(sample_rate, 1)`` with the
+    content-addressed md5 coin — map-only after the broadcast join of
+    the #sources-row rate relation, deterministic at any cluster
+    size. A source with sample_rate > 1 keeps every document and
+    reports the residual as ``repeat_factor`` (> 1 = how many extra
+    epochs the training reader owes the source — a filter cannot
+    replicate rows, and deterministic replication belongs to the
+    reader's epoch schedule, not the corpus).
+
+    floor() is applied explicitly to the coin threshold: a bare
+    double->long cast truncates in Spark but ROUNDS in DuckDB, so the
+    oracle would disagree on boundary coins without it. Returns the
+    surviving (doc_id, lang, source, sample_rate, repeat_factor)."""
+    mix = domain_mix_weights(docs, alpha).select("source", "sample_rate")
+    coin = F.expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    keep = coin < F.floor(
+        F.least(F.col("sample_rate"), F.lit(1.0)) * F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(mix), "source")
+        .where(keep)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "sample_rate",
+            F.round(F.greatest(F.col("sample_rate"), F.lit(1.0)), 6).alias(
+                "repeat_factor"
+            ),
+        )
+    )

@@ -728,3 +728,43 @@ def test_corpus_report_partition_invariant(spark):
         corpus.corpus_report(df).collect()
         == corpus.corpus_report(df.repartition(13)).collect()
     )
+
+
+def test_apply_domain_mix_downsamples_head_keeps_tail(spark):
+    rows = [(i, " ".join(f"a{i}w{j}" for j in range(40)), "en", "big")
+            for i in range(60)]
+    rows += [(100 + i, " ".join(f"b{i}w{j}" for j in range(40)), "en", "small")
+             for i in range(4)]
+    df = _docs(spark, rows)
+    out = corpus.apply_domain_mix(df, alpha=0.3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # the minority source is oversampled: every doc kept, repeat owed
+    assert len(by_src["small"]) == 4
+    assert all(r["repeat_factor"] > 1.0 for r in by_src["small"])
+    # the head source is thinned by the coin and owes no repetition
+    assert 0 < len(by_src["big"]) < 60
+    assert all(r["repeat_factor"] == 1.0 for r in by_src["big"])
+    # survivors match the per-source rate semantics exactly
+    mix = {r["source"]: r["sample_rate"]
+           for r in corpus.domain_mix_weights(df, alpha=0.3).collect()}
+    import hashlib
+    import math
+    for doc_id, _, _, src in rows:
+        coin = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16)
+        kept = coin < math.floor(min(mix[src], 1.0) * 2 ** 32)
+        assert kept == any(r["doc_id"] == doc_id for r in by_src[src])
+
+
+def test_apply_domain_mix_partition_invariant(spark):
+    df = _docs(
+        spark,
+        [(i, f"w{i % 11} x{i % 5} y{i % 3}", "en", f"s{i % 3}")
+         for i in range(45)],
+    )
+    base = sorted(map(tuple, corpus.apply_domain_mix(df).collect()))
+    repart = sorted(
+        map(tuple, corpus.apply_domain_mix(df.repartition(7)).collect())
+    )
+    assert base == repart

@@ -154,6 +154,12 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     # broadcast single-row cross (never a true cartesian over data)
     ("corpus_report", ["partial_count"],
      ["BatchEvalPython", "ArrowEvalPython"]),
+    # mix execution: the #sources-row rate relation joins back as an
+    # explicit broadcast; the corpus side is filter-after-join at
+    # scan speed — never a sort-merge on the corpus
+    ("apply_domain_mix", ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+      "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
