@@ -490,6 +490,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_domain_mix": lambda s, d: corpus.apply_domain_mix(
         _t(s, d, "documents")
     ),
+    # the decontamination executed (planning face:
+    # contamination_check, driver-gated) — same every-20th-doc
+    # benchmark split, survivors of the training side
+    "decontaminated_corpus": lambda s, d: dedup.decontaminated_corpus(
+        _t(s, d, "documents").where("doc_id % 20 <> 0"),
+        _t(s, d, "documents").where("doc_id % 20 = 0"),
+    ).select("doc_id", "lang", "source", "n_chars"),
     # late-r5 rotation: demoted for bpe_pair_counts (new family); the
     # TPC-H family stays gated via pricing_summary, top_revenue_orders,
     # event_rollup and local_supplier_volume, and this entry keeps its
@@ -1709,6 +1716,24 @@ ORACLES: dict[str, str] = {
         FROM grams c JOIN bench USING (g)
         WHERE c.doc_id % 20 <> 0
         GROUP BY c.doc_id
+    """,
+    # the decontamination EXECUTED: training survivors after dropping
+    # every doc sharing any benchmark 13-gram (same split as
+    # contamination_check)
+    "decontaminated_corpus": """
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        grams AS (
+          SELECT doc_id, md5(array_to_string(w[i:i+12], ' ')) AS g
+          FROM docs, unnest(generate_series(1, len(w) - 12)) t(i)
+          WHERE len(w) >= 13),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        hits AS (SELECT DISTINCT c.doc_id
+                 FROM grams c JOIN bench USING (g)
+                 WHERE c.doc_id % 20 <> 0)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 20 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM hits)
     """,
     "banded_pairs_bucket_cap": f"""
         WITH documents AS (

@@ -755,3 +755,31 @@ def dedup_against_corpus(new: DataFrame, ref: DataFrame) -> DataFrame:
     return new.join(
         exact_drop.union(near_drop), "doc_id", "left_anti"
     )
+
+
+def decontaminated_corpus(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_N,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Execute the decontamination (the planning/execution split of
+    contamination_hits, mirroring dedup_summary vs dedupped_corpus):
+    drop from ``corpus`` every document sharing more than ``max_hits``
+    distinct word ``n``-grams with the held-out benchmark — the GPT-3
+    appendix-C step every release pipeline runs before training.
+
+    Shape at scale: the hit relation is tiny by construction
+    (contamination is rare — only docs with at least one benchmark
+    n-gram reach it), so the drop is ONE left-anti join against a
+    small relation and the corpus is scanned once beyond the gram
+    pass contamination_hits already prices. ``max_hits > 0``
+    tolerates incidental single-gram collisions (common-phrase noise)
+    while still dropping wholesale leaks. Returns the surviving rows
+    of ``corpus`` with all original columns."""
+    drop = (
+        contamination_hits(corpus, benchmark, n=n)
+        .where(F.col("n_contaminated_ngrams") > max_hits)
+        .select("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti")

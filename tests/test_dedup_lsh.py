@@ -271,3 +271,38 @@ def test_dedup_against_corpus_partition_invariant(spark, docs):
         ).collect()
     )
     assert base == repart
+
+
+def test_decontaminated_corpus_drops_leaks_keeps_clean(spark):
+    leak = " ".join(f"q{i} tok{i * 3}" for i in range(15))   # >= 13 words
+    clean = " ".join(f"c{i} w{i * 7}" for i in range(15))
+    short = "too short to carry a thirteen gram"
+    bench = spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, leak), (2, clean), (3, short),
+         (4, "prefix " + leak)],  # contains the benchmark grams inside
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminated_corpus(train, bench).collect()
+    )
+    assert kept == [2, 3]
+    # max_hits tolerance: the wholesale leak carries MANY shared grams
+    kept_tol = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminated_corpus(train, bench, max_hits=1).collect()
+    )
+    assert 1 not in kept_tol and 4 not in kept_tol and 2 in kept_tol
+
+
+def test_decontaminated_corpus_clean_split_is_identity(spark, docs):
+    train = docs.where("doc_id % 20 <> 0")
+    # a benchmark with no overlapping grams drops nothing
+    bench = spark.createDataFrame(
+        [(999, " ".join(f"zz{i}qq{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    assert dedup.decontaminated_corpus(train, bench).count() == train.count()

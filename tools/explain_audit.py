@@ -160,6 +160,11 @@ AUDITS: list[tuple[str, list[str], list[str]]] = [
     ("apply_domain_mix", ["BroadcastHashJoin"],
      ["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
       "ArrowEvalPython"]),
+    # decontamination executed: the gram pass inherits
+    # contamination_check's broadcast contract; the drop lands as one
+    # LeftAnti against the (tiny) hit relation
+    ("decontaminated_corpus", ["BroadcastHashJoin", "LeftAnti"],
+     ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # decontamination: bench gram set broadcasts (eval suites are MBs
     # vs a PB corpus); corpus grams must meet it in a broadcast hash
     # join — a sort-merge here would shuffle EVERY corpus 13-gram
