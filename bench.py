@@ -32,6 +32,7 @@ DEFAULT_QUERIES = [
     "dedup_corpus",
     "dedup_against_corpus",
     "contamination_check",
+    "decontaminated_corpus",
     "line_dedup_stats",
     "dup_gram_stats",
     "stratified_sample",
@@ -41,6 +42,7 @@ DEFAULT_QUERIES = [
     "bpe_pair_counts",
     "bpe_pack_plan",
     "domain_mix_weights",
+    "apply_domain_mix",
     "corpus_report",
     "dsir_weights",
     "bigram_lm_scores",
